@@ -1,0 +1,99 @@
+"""Text analysis chain: tokenize -> stopwords -> punctuation strip -> stem.
+
+Replicates the reference chain (reference ``app/TextPreProcess.py:41-51``):
+
+1. ``nltk.word_tokenize(text.lower())``  -> vendored regex tokenizer that
+   lowercases and splits English contractions (``don't`` -> ``do``, ``n't``)
+   the way the Treebank tokenizer does for the cases that matter here.
+2. stopword filter (430-word list, ``app/data/stopList.txt``) — runs
+   BEFORE punctuation strip (reference ``app/TextPreProcess.py:44-47``),
+   so ``n't`` survives the stoplist and is later stripped to ``nt``.
+3. punctuation strip ``re.sub(r'\\W+', '', tok)``, dropping empties
+   (reference ``app/TextPreProcess.py:32-33``).
+4. Porter2 (Snowball English) stem (reference ``app/TextPreProcess.py:38-39``).
+
+Query-side analysis additionally drops tokens with ``len(tok) <= 1``
+(reference ``app/TextPreProcess.py:64``) — an asymmetry vs the build side
+that we replicate exactly (SURVEY.md §2.9.4).
+
+The analyzer is deliberately a plain picklable object so Ray actor pools
+can construct it once per worker (``__init__``) and reuse it per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from pathlib import Path
+
+from pyfuseray.porter2 import stem
+
+_STOPLIST_PATH = Path(__file__).parent / "data" / "stopList.txt"
+
+# Split contractions off the preceding word: "don't" -> "do n't",
+# "it's" -> "it 's". The pieces then tokenize separately.
+_CONTRACTION_NT = re.compile(r"(\w)(n't)\b")
+_CONTRACTION_APO = re.compile(r"(\w)('(?:s|ll|re|ve|d|m))\b")
+# Token = run of word chars (possibly with internal apostrophe remnants
+# handled above) or a run of non-word non-space chars (punctuation tokens,
+# which die later in the \W+ strip — but only AFTER the stoplist, matching
+# the reference order).
+_TOKEN = re.compile(r"n't|'(?:s|ll|re|ve|d|m)\b|\w+|[^\w\s]+")
+_NON_WORD = re.compile(r"\W+")
+
+
+def load_stoplist(path: str | Path = _STOPLIST_PATH) -> frozenset[str]:
+    """Load the stopword list (one lowercase word per line)."""
+    with open(path, encoding="utf-8") as fh:
+        return frozenset(line.strip().lower() for line in fh if line.strip())
+
+
+class Analyzer:
+    """Deterministic, dependency-free analyzer (build + query sides)."""
+
+    def __init__(self, stoplist: frozenset[str] | None = None):
+        self.stoplist = stoplist if stoplist is not None else load_stoplist()
+
+    # -- stages ------------------------------------------------------------
+    def tokenize(self, text: str) -> list[str]:
+        text = text.lower()
+        text = _CONTRACTION_NT.sub(r"\1 \2", text)
+        text = _CONTRACTION_APO.sub(r"\1 \2", text)
+        return _TOKEN.findall(text)
+
+    def remove_stopwords(self, tokens: list[str]) -> list[str]:
+        sl = self.stoplist
+        return [t for t in tokens if t not in sl]
+
+    @staticmethod
+    def strip_punctuation(tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            t = _NON_WORD.sub("", t)
+            if t:
+                out.append(t)
+        return out
+
+    @staticmethod
+    def stem_tokens(tokens: list[str]) -> list[str]:
+        return [stem(t) for t in tokens]
+
+    # -- chains ------------------------------------------------------------
+    def process_text(self, text: str) -> list[str]:
+        """Build-side chain (keeps 1-char tokens)."""
+        tokens = self.tokenize(text)
+        tokens = self.remove_stopwords(tokens)
+        tokens = self.strip_punctuation(tokens)
+        return self.stem_tokens(tokens)
+
+    def term_frequencies(self, text: str) -> dict[str, int]:
+        """Build-side per-document term frequencies."""
+        return dict(Counter(self.process_text(text)))
+
+    def preprocess_query(self, text: str) -> dict[str, int]:
+        """Query-side chain: drops single-char tokens (reference asymmetry)."""
+        freq: Counter[str] = Counter()
+        for tok in self.process_text(text):
+            if len(tok) > 1:
+                freq[tok] += 1
+        return dict(freq)
