@@ -51,8 +51,13 @@ def load_stoplist(path: str | Path = _STOPLIST_PATH) -> frozenset[str]:
 class Analyzer:
     """Deterministic, dependency-free analyzer (build + query sides)."""
 
+    # Cap on the per-instance stem memo (web-scale vocab is zipfian: a
+    # bounded cache catches nearly all hits without unbounded growth).
+    _STEM_CACHE_MAX = 500_000
+
     def __init__(self, stoplist: frozenset[str] | None = None):
         self.stoplist = stoplist if stoplist is not None else load_stoplist()
+        self._stem_cache: dict[str, str] = {}
 
     # -- stages ------------------------------------------------------------
     def tokenize(self, text: str) -> list[str]:
@@ -74,9 +79,17 @@ class Analyzer:
                 out.append(t)
         return out
 
-    @staticmethod
-    def stem_tokens(tokens: list[str]) -> list[str]:
-        return [stem(t) for t in tokens]
+    def stem_tokens(self, tokens: list[str]) -> list[str]:
+        cache = self._stem_cache
+        out = []
+        for t in tokens:
+            s = cache.get(t)
+            if s is None:
+                s = stem(t)
+                if len(cache) < self._STEM_CACHE_MAX:
+                    cache[t] = s
+            out.append(s)
+        return out
 
     # -- chains ------------------------------------------------------------
     def process_text(self, text: str) -> list[str]:

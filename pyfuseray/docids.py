@@ -1,0 +1,62 @@
+"""Deterministic ingest: exact dedup + data-derived doc_id assignment.
+
+The reference assigns doc_id = list position (reference
+``app/InvertedIndexFinal.py:262``) and dedups on load with
+``drop_duplicates(subset=['track_id'], keep='first')`` (reference
+``app/DataLoader.py:40``). Positional ids do not survive parallel reads,
+so (SURVEY.md §7.6.1):
+
+- dedup keep-first is re-expressed as keep-MIN-(warc_ts, fingerprint)
+  per url — a deterministic order column replaces "input order";
+- doc_id = rank of url in global sorted order, computed with
+  ``sort("url")`` + positional zip against ``ray.data.range(n)``
+  (an exact, reproducible zip-with-index; at multi-node scale the same
+  rank is computed by range-partitioned sort + per-partition offsets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _fingerprint(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8", errors="replace")).hexdigest()
+
+
+def dedup_keep_first(ds: rd.Dataset, key: str = "url", order_col: str = "warc_ts") -> rd.Dataset:
+    """Exact dedup by ``key``: keep the row with the smallest
+    ``(order_col, md5(text))`` — the deterministic analogue of
+    pandas keep='first' (hash-partition by key + per-group min)."""
+
+    def take_first(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 1:
+            return group
+        fp = group["text"].map(lambda t: _fingerprint(t or ""))
+        order = sorted(range(len(group)), key=lambda i: (group[order_col].iloc[i], fp.iloc[i]))
+        return group.iloc[[order[0]]]
+
+    return ds.groupby(key).map_groups(take_first, batch_format="pandas")
+
+
+def assign_doc_ids(ds: rd.Dataset, n_rows: int | None = None) -> rd.Dataset:
+    """doc_id = rank of url in ascending sorted order (0-based, dense)."""
+    if n_rows is None:
+        n_rows = ds.count()
+    ranked = ds.sort("url").zip(rd.range(n_rows))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["doc_id" if c == "id" else c for c in batch.column_names]
+        )
+
+    return ranked.map_batches(rename, batch_format="pyarrow")
+
+
+def docmap(ds_with_ids: rd.Dataset) -> rd.Dataset:
+    """(doc_id, url) join side for result materialization (reference J1,
+    ``app/DataLoader.py:165``)."""
+    return ds_with_ids.select_columns(["doc_id", "url"])

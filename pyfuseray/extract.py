@@ -1,0 +1,54 @@
+"""Text extraction from Common-Crawl-style page rows.
+
+The reference's "extractor" concatenates 7 CSV text fields into
+``texto_concatenado`` (reference ``app/data/afs/EdaAFS.ipynb``, consumed
+at ``app/DataLoader.py:49``). For webtext pages the analogous stage maps
+``(html, text)`` to the indexable document text, with the per-row
+invariant that the distributed ``map_batches`` extraction is
+byte-identical per url to this serial pure function (BASELINE.json
+input_hint; tested in tests/test_pages.py).
+
+Rule: use ``text`` when present; otherwise deterministically strip tags
+from ``html`` (drop script/style bodies, replace tags with spaces,
+unescape entities, collapse whitespace).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import pyarrow as pa
+
+_SCRIPT_STYLE = re.compile(
+    rb"<\s*(script|style)\b.*?<\s*/\s*\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_TAG = re.compile(rb"<[^>]*>")
+_WS = re.compile(r"\s+")
+
+
+def extract_text(html: bytes | None, text: str | None) -> str:
+    """Pure, deterministic per-row extractor (the byte-identity anchor)."""
+    if text is not None and text != "":
+        return text
+    if html is None or html == b"":
+        return ""
+    stripped = _SCRIPT_STYLE.sub(b" ", html)
+    stripped = _TAG.sub(b" ", stripped)
+    decoded = stripped.decode("utf-8", errors="replace")
+    decoded = _htmllib.unescape(decoded)
+    return _WS.sub(" ", decoded).strip()
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """map_batches stage: pages(url, warc_ts, html, text, ...) ->
+    (url, warc_ts, text). Drops the wide ``html`` column immediately so
+    downstream shuffles never move raw HTML (SURVEY.md §7.6.5)."""
+    htmls = batch.column("html").to_pylist() if "html" in batch.column_names else [None] * batch.num_rows
+    texts = batch.column("text").to_pylist() if "text" in batch.column_names else [None] * batch.num_rows
+    out = [extract_text(h, t) for h, t in zip(htmls, texts)]
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {"url": batch.column("url")}
+    if "warc_ts" in batch.column_names:
+        cols["warc_ts"] = batch.column("warc_ts")
+    cols["text"] = pa.array(out, type=pa.string())
+    return pa.table(cols)

@@ -1,0 +1,101 @@
+"""Pages-table path: extract byte-identity, dedup keep-first,
+deterministic doc_id ranks, end-to-end build + rank-identity."""
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from pyfuseray.docids import assign_doc_ids, dedup_keep_first
+from pyfuseray.extract import extract_batch, extract_text
+from pyfuseray.oracle import OracleIndex
+from pyfuseray.pages import synth_pages
+from pyfuseray.pipeline import build_from_pages, pages_to_corpus
+from pyfuseray.query import IndexSearcher
+
+
+def test_extract_byte_identity(tmp_path):
+    """Distributed map_batches extraction is byte-identical per url to the
+    serial pure function (BASELINE.json input_hint invariant)."""
+    tbl = synth_pages(300, seed=7, null_text_frac=0.4)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, path)
+
+    serial = {
+        u: extract_text(h, t)
+        for u, h, t in zip(
+            tbl["url"].to_pylist(), tbl["html"].to_pylist(), tbl["text"].to_pylist()
+        )
+    }
+    ds = rd.read_parquet(path).repartition(7).map_batches(
+        extract_batch, batch_format="pyarrow"
+    )
+    distributed = {r["url"]: r["text"] for r in ds.iter_rows()}
+    assert distributed.keys() == serial.keys()
+    for url, text in serial.items():
+        assert distributed[url].encode() == text.encode(), url
+
+
+def test_extract_html_path_matches_text_path():
+    # same body through html stripping vs direct text
+    body = "quick foxes jump over lazy dogs"
+    html = f"<html><head><script>x&amp;</script></head><body><p>{body}</p></body></html>".encode()
+    assert extract_text(html, None) == body
+    assert extract_text(None, body) == body
+    assert extract_text(html, body) == body  # text wins
+    assert extract_text(b"<p>a &amp; b</p>", None) == "a & b"
+    assert extract_text(None, None) == ""
+
+
+def test_dedup_keep_first(tmp_path):
+    tbl = synth_pages(200, seed=3, dup_frac=0.3)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, path)
+    ds = rd.read_parquet(path).map_batches(extract_batch, batch_format="pyarrow")
+    deduped = dedup_keep_first(ds).to_pandas()
+    assert deduped["url"].is_unique
+    # keep-first: for each kept url the warc_ts is the min over its dups
+    raw = tbl.to_pandas()
+    mins = raw.groupby("url")["warc_ts"].min()
+    for _, row in deduped.iterrows():
+        assert row["warc_ts"] == mins[row["url"]]
+
+
+def test_doc_ids_are_url_ranks(tmp_path):
+    tbl = synth_pages(150, seed=5)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, path)
+    ds = rd.read_parquet(path).repartition(5).map_batches(
+        extract_batch, batch_format="pyarrow"
+    )
+    got = assign_doc_ids(ds).to_pandas().sort_values("doc_id")
+    expected_urls = sorted(tbl["url"].to_pylist())
+    assert got["url"].tolist() == expected_urls
+    assert got["doc_id"].tolist() == list(range(150))
+
+
+def test_pages_end_to_end_rank_identity(tmp_path):
+    tbl = synth_pages(120, seed=11, null_text_frac=0.3, dup_frac=0.1)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, path)
+    out = str(tmp_path / "ix")
+    build_from_pages(rd.read_parquet(path), out, num_buckets=4, num_salts=2,
+                     overwrite=True)
+    searcher = IndexSearcher(out)
+
+    # serial oracle over the same deterministic ingest
+    raw = tbl.to_pandas()
+    raw["etext"] = [
+        extract_text(h, t) for h, t in zip(raw["html"], raw["text"])
+    ]
+    first = raw.sort_values(["url", "warc_ts"]).drop_duplicates("url", keep="first")
+    docs = list(enumerate(first.sort_values("url")["etext"].tolist()))
+    oracle = OracleIndex().build(docs)
+
+    for q in ["quick foxes", "webhot", "flowers bloom spring", "search engine data"]:
+        got = searcher.search_tfidf(q, 10)
+        want = oracle.search_tfidf(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, s1), (_, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9
+        got_b = searcher.search_bm25(q, 10, algorithm="wand")
+        want_b = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got_b] == [d for d, _ in want_b], q

@@ -1,0 +1,100 @@
+"""Checkpoint/resume: interrupted builds resume from the last completed
+segment and produce content-identical indexes (north-rule requirement)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from pyfuseray.build import build_index
+from pyfuseray.checkpoint import load_manifest, manifest_path
+from pyfuseray.query import IndexSearcher
+from tests.corpora import PANGRAM_DOCS, PANGRAM_QUERIES
+
+
+def _corpus():
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(PANGRAM_DOCS)]
+    ).repartition(4)
+
+
+def _segment_content(index_dir):
+    files = sorted(glob.glob(os.path.join(index_dir, "segments", "part-*", "*.parquet")))
+    tbl = pads.dataset(files).to_table()
+    rows = sorted(
+        zip(
+            tbl["term"].to_pylist(),
+            tbl["df"].to_pylist(),
+            tbl["cf"].to_pylist(),
+            tbl["blob"].to_pylist(),
+            map(tuple, tbl["last_doc"].to_pylist()),
+            map(tuple, tbl["offset"].to_pylist()),
+        )
+    )
+    return rows
+
+
+def test_resume_after_partial_segments(tmp_path):
+    full_dir = str(tmp_path / "full")
+    build_index(_corpus(), full_dir, num_buckets=4, num_salts=2, overwrite=True)
+    reference_content = _segment_content(full_dir)
+    ref_manifest = load_manifest(full_dir)
+
+    # simulate a crash: wipe two buckets' outputs and drop them (plus all
+    # later stages) from the manifest
+    crash_dir = str(tmp_path / "crash")
+    shutil.copytree(full_dir, crash_dir)
+    m = json.load(open(manifest_path(crash_dir)))
+    for k in ("2", "3"):
+        del m["buckets"][k]
+    for stage in ("df", "norms", "done"):
+        m["stages"].pop(stage, None)
+    json.dump(m, open(manifest_path(crash_dir), "w"))
+    shutil.rmtree(os.path.join(crash_dir, "segments", "part-2"))
+    # bucket 3: leave a PARTIAL write behind — resume must discard it
+    part3 = os.path.join(crash_dir, "segments", "part-3")
+    for f in sorted(glob.glob(os.path.join(part3, "*.parquet")))[1:]:
+        os.unlink(f)
+    for stats in ("df.parquet", "norms.parquet"):
+        shutil.rmtree(os.path.join(crash_dir, "stats", stats), ignore_errors=True)
+
+    m2 = build_index(_corpus(), crash_dir, num_buckets=4, num_salts=2)
+    assert m2.stage_done("done")
+    assert _segment_content(crash_dir) == reference_content
+    # per-bucket checksums identical to the uninterrupted build
+    for k in range(4):
+        assert m2.buckets[str(k)]["checksum"] == ref_manifest.buckets[str(k)]["checksum"]
+
+    # resumed index answers queries identically
+    s_full, s_resumed = IndexSearcher(full_dir), IndexSearcher(crash_dir)
+    for q in PANGRAM_QUERIES:
+        assert s_full.search_tfidf(q, 10) == s_resumed.search_tfidf(q, 10)
+
+
+def test_completed_buckets_are_skipped(tmp_path, monkeypatch):
+    out = str(tmp_path / "ix")
+    build_index(_corpus(), out, num_buckets=4, overwrite=True)
+
+    # poison the segment builder: a resume of a COMPLETE index must not
+    # rebuild anything, so the poison must never trigger
+    import pyfuseray.build as build_mod
+
+    def boom(*a, **k):
+        raise AssertionError("segment rebuild attempted on completed bucket")
+
+    monkeypatch.setattr(build_mod, "build_bucket_segment", boom)
+    m = build_index(_corpus(), out, num_buckets=4)
+    assert m.stage_done("done")
+
+
+def test_rerun_content_identical(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(_corpus(), a, num_buckets=4, num_salts=2, overwrite=True)
+    build_index(_corpus().repartition(7), b, num_buckets=4, num_salts=2, overwrite=True)
+    assert _segment_content(a) == _segment_content(b)
+    ma, mb = load_manifest(a), load_manifest(b)
+    for k in range(4):
+        assert ma.buckets[str(k)]["checksum"] == mb.buckets[str(k)]["checksum"]
