@@ -1,44 +1,488 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself BEFORE importing this module;
+nothing here (or in pyfuseray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on sf0.001 — full inverted-index build
+  over the documents corpus + the reference query set, returning the
+  ranked results table.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 (plus the training-data extras); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible
+  subset. Stemmed full-text operators have no SQL equivalent in this
+  sandbox (DuckDB's fts/stem extension cannot be downloaded), so they
+  are rows-only checked here and rank-identity-checked against the
+  serial oracle in ``tests/`` instead.
+
+Column names match between each queries() entry and its oracle_sql()
+entry; float columns are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF001 = "/root/testdata/sf0.001"
+
+# the reference query set (FIXTURES.md §2)
+REFERENCE_QUERIES = [
+    "quick fox", "jump", "wizard", "fox", "box",
+    "flower", "bloom", "run", "dog", "cat", "love",
+]
+
+# queries that hit the synthetic documents vocabulary
+DOC_QUERIES = [
+    "fast scan merge", "query data stream", "sort join filter",
+    "batch window value", "small table row group",
+]
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/pyfuseray_ix_{tag}"
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (or resume — second call is a no-op) the documents index."""
+    from pyfuseray.build import build_index
+    from pyfuseray.checkpoint import load_manifest
+
+    out = _index_dir_for(sf_dir)
+    m = load_manifest(out)
+    if m is None or not m.stage_done("done"):
+        corpus = _docs(sf_dir).select_columns(["doc_id", "text"])
+        build_index(corpus, out, num_buckets=4, num_salts=2)
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the sf0.001 index, run the reference query set."""
+    from pyfuseray.query import IndexSearcher
+
+    ix = _ensure_index(SF001)
+    s = IndexSearcher(ix)
+    rows = []
+    for qid, q in enumerate(REFERENCE_QUERIES + DOC_QUERIES):
+        for rank, (doc_id, score) in enumerate(s.search_bm25(q, 10, algorithm="wand")):
+            rows.append(
+                {"query_id": qid, "query": q, "rank": rank, "doc_id": doc_id,
+                 "score": round(score, 6)}
+            )
+    return pd.DataFrame(rows, columns=["query_id", "query", "rank", "doc_id", "score"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_token_counts(sf_dir: str):
+    from pyfuseray.extras.textstats import token_counts
+
+    return token_counts(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_df_unstemmed(sf_dir: str):
+    from pyfuseray.extras.textstats import simple_tokens
+    from ray.data.aggregate import Count
+
+    def uniq_terms(batch: pa.Table) -> pa.Table:
+        out_t, out_d = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for term in set(simple_tokens(t)):
+                out_t.append(term)
+                out_d.append(d)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        uniq_terms, batch_format="pyarrow"
+    )
+    return ds.groupby("term").aggregate(Count(alias_name="df"))
+
+
+def _q_postings_unstemmed(sf_dir: str):
+    from collections import Counter
+
+    from pyfuseray.extras.textstats import simple_tokens
+
+    def postings(batch: pa.Table) -> pa.Table:
+        out_t, out_d, out_tf = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for term, tf in Counter(simple_tokens(t)).items():
+                out_t.append(term)
+                out_d.append(d)
+                out_tf.append(tf)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "tf": pa.array(out_tf, pa.int64())})
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        postings, batch_format="pyarrow"
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pyfuseray.extras.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def _q_top_docs_by_tokens(sf_dir: str):
+    df = _q_token_counts(sf_dir).to_pandas()
+    df = df.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
+def _q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _docs(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def _q_filter_project(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def flt(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["lang"], pa.scalar("en")),
+            pc.greater(batch["n_chars"], pa.scalar(300)),
+        )
+        return batch.filter(mask).select(["doc_id", "source", "n_chars"])
+
+    return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Broadcast-small-side hash join: customer (small) shipped once via
+    ray.put, looked up inside map_batches over orders; then a partial
+    pre-aggregated groupby."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        segs = [lut.get(k) for k in batch["o_custkey"].to_pylist()]
+        return pa.table({
+            "c_mktsegment": pa.array(segs, pa.string()),
+            "o_totalprice": batch["o_totalprice"],
+        })
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(join, batch_format="pyarrow")
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+
+    def round_total(batch: pa.Table) -> pa.Table:
+        t = [round(v, 2) for v in batch["total"].to_pylist()]
+        return pa.table({"c_mktsegment": batch["c_mktsegment"],
+                         "n_orders": batch["n_orders"],
+                         "total": pa.array(t, pa.float64())})
+
+    return out.map_batches(round_total, batch_format="pyarrow")
+
+
+def _q_events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate over the events log:
+    groupby(event_type, window) with per-batch partial aggregation."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())  # microseconds
+        win = pa.compute.floor(pa.compute.divide(ts, 3_600_000_000))
+        return batch.append_column("win", win.cast(pa.int64()))
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+    out = ev.map_batches(add_window, batch_format="pyarrow").groupby(
+        ["event_type", "win"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        sv = [round(v, 4) for v in batch["sum_value"].to_pylist()]
+        return pa.table({"event_type": batch["event_type"],
+                         "win": batch["win"],
+                         "n": batch["n"],
+                         "sum_value": pa.array(sv, pa.float64())})
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 against vec_id=0's embedding, float64."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    qv = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-30)
+        sims = (vecs @ qn) / norms
+        return pa.table({"vec_id": batch["vec_id"],
+                         "score": pa.array(sims, pa.float64())})
+
+    ds = rd.read_parquet(emb_path).map_batches(score, batch_format="pyarrow")
+    out = ds.to_pandas().sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)
+
+
+def _q_fingerprints(sf_dir: str):
+    from pyfuseray.extras.textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_quality(sf_dir: str):
+    from pyfuseray.extras.textstats import quality_scores
+
+    return quality_scores(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+def _q_ft_df_stemmed(sf_dir: str):
+    import ray.data as rd
+
+    ix = _ensure_index(sf_dir)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(ix, "segments", "part-*", "*.parquet")))
+    return rd.read_parquet(files).select_columns(["term", "df", "cf"])
+
+
+def _search_table(sf_dir: str, scoring: str, algorithm: str = "taat"):
+    from pyfuseray.query import IndexSearcher
+
+    ix = _ensure_index(sf_dir)
+    s = IndexSearcher(ix)
+    rows = []
+    for qid, q in enumerate(REFERENCE_QUERIES + DOC_QUERIES):
+        hits = (
+            s.search_bm25(q, 10, algorithm=algorithm)
+            if scoring == "bm25"
+            else s.search_tfidf(q, 10)
+        )
+        for rank, (doc_id, score) in enumerate(hits):
+            rows.append({"query_id": qid, "rank": rank, "doc_id": doc_id,
+                         "score": round(score, 6)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def _q_ft_search_tfidf(sf_dir: str):
+    return _search_table(sf_dir, "tfidf")
+
+
+def _q_ft_search_bm25_wand(sf_dir: str):
+    return _search_table(sf_dir, "bm25", "wand")
+
+
+def _q_sql_like_select(sf_dir: str):
+    from pyfuseray.sqlfront import execute_sql
+
+    ix = _ensure_index(sf_dir)
+    out = execute_sql(
+        "SELECT doc_id, lang FROM documents LIKE fast scan merge LIMIT 5",
+        ix,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    return out
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from pyfuseray.extras.dedup import minhash_dedup
+
+    verified, _ = minhash_dedup(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.5
+    )
+    return pd.DataFrame(verified or [], columns=["a", "b"])
+
+
+def _q_simhash(sf_dir: str):
+    from pyfuseray.extras.dedup import add_simhash
+
+    return add_simhash(_docs(sf_dir).select_columns(["doc_id", "text"])).select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    from pyfuseray.extras.textstats import lang_id
+
+    return lang_id(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_knn_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyfuseray.extras.knn import lsh_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    qv = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float32)
+    res = lsh_topk(rd.read_parquet(emb_path), qv, 10, n_planes=6)[0]
+    return pd.DataFrame(
+        [{"rank": r, "vec_id": v, "score": round(s, 4)} for r, (v, s) in enumerate(res)],
+        columns=["rank", "vec_id", "score"],
+    )
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from pyfuseray.extras.multimodal import extract_features, synth_media
+
+    media = rd.from_arrow(synth_media(200))
+    feats = extract_features(media, fake=True).to_pandas()
+    return pd.DataFrame(
+        {
+            "media_id": feats["media_id"],
+            "dim": [len(v) for v in feats["feature"]],
+            "norm": [round(float(np.linalg.norm(v)), 4) for v in feats["feature"]],
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # SQL-checkable
+        "token_counts": _q_token_counts,
+        "df_unstemmed": _q_df_unstemmed,
+        "postings_unstemmed": _q_postings_unstemmed,
+        "dedup_exact": _q_dedup_exact,
+        "top_docs_by_tokens": _q_top_docs_by_tokens,
+        "lang_counts": _q_lang_counts,
+        "filter_project": _q_filter_project,
+        "orders_by_segment": _q_orders_by_segment,
+        "events_window": _q_events_window,
+        "knn_cosine": _q_knn_cosine,
+        "fingerprints": _q_fingerprints,
+        "quality_score": _q_quality,
+        # rows-only (stemming / LSH / model paths have no DuckDB equivalent)
+        "ft_df_stemmed": _q_ft_df_stemmed,
+        "ft_search_tfidf": _q_ft_search_tfidf,
+        "ft_search_bm25_wand": _q_ft_search_bm25_wand,
+        "sql_like_select": _q_sql_like_select,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "knn_lsh": _q_knn_lsh,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_counts": f"""
+            SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "df_unstemmed": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+            )
+            SELECT term, count(*) AS df FROM toks GROUP BY term
+        """,
+        "postings_unstemmed": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            )
+            SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM_TEXT}
+        """,
+        "top_docs_by_tokens": f"""
+            SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+            FROM documents
+            ORDER BY n_tokens DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "lang_counts": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "filter_project": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars > 300
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "events_window": """
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY event_type, win
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(qe AS DOUBLE[]) FROM q)), 6) AS score
+            FROM embeddings e
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            (SELECT CAST(qe AS DOUBLE[]) FROM q)) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
+        "fingerprints": f"""
+            SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+        """,
+        "quality_score": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       len(text) AS n_chars,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                       CASE WHEN len({_TOK}) > 0
+                            THEN CAST(list_sum(list_transform({_TOK}, x -> len(x))) AS DOUBLE)
+                                 / len({_TOK})
+                            ELSE 0.0 END AS ml,
+                       CASE WHEN len(text) > 0
+                            THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                 / len(text)
+                            ELSE 0.0 END AS dr
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(ml, 6) AS mean_token_len,
+                   round(dr, 6) AS digit_ratio,
+                   round(least(1.0, n_tokens / 100.0) * (1.0 - dr), 6) AS quality
+            FROM raw
+        """,
+    }

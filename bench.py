@@ -1,0 +1,161 @@
+"""Benchmark harness. Prints ONE JSON line on stdout.
+
+    python bench.py                 # headline run at $RAY_GRAFT_CPUS (def 32)
+    python bench.py --scaling       # same job at 8 and 32 CPUs in fresh
+                                    # processes; reports scaling efficiency
+
+Headline pipeline: ingest + inverted-index build over a deterministic
+synthetic pages corpus (PYFUSERAY_BENCH_DOCS rows, default 40000) plus
+the sf documents corpus, then the reference query set p50 latencies
+(TF-IDF TAAT and BM25 block-max WAND).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "quick foxes jump", "wizard quartz", "flowers bloom spring",
+    "search engine data", "webhot", "compress delta posting merge",
+    "document corpus ranking", "fast scan merge", "query data stream",
+    "sort join filter",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("PYFUSERAY_BENCH_DOCS", "40000"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyfuseray.build import build_index
+    from pyfuseray.pages import synth_pages
+    from pyfuseray.pipeline import build_from_pages
+    from pyfuseray.query import IndexSearcher
+
+    # -- corpus prep (untimed; cached across runs) -------------------------
+    pages_path = f"/tmp/pyfuseray_bench_pages_{n_pages}.parquet"
+    if not os.path.exists(pages_path):
+        pq.write_table(
+            synth_pages(n_pages, seed=42, null_text_frac=0.15, dup_frac=0.02),
+            pages_path,
+        )
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    with open(pages_path, "rb") as fh:
+        while fh.read(1 << 24):
+            pass
+
+    timings: dict[str, float] = {}
+
+    # -- headline: pages ingest + index build ------------------------------
+    ix_pages = f"/tmp/pyfuseray_bench_ix_{num_cpus}"
+    t0 = time.perf_counter()
+    build_from_pages(
+        rd.read_parquet(pages_path),
+        ix_pages,
+        corpus_dir=f"/tmp/pyfuseray_bench_corpus_{num_cpus}",
+        num_buckets=8,
+        overwrite=True,
+    )
+    t_build_pages = time.perf_counter() - t0
+    timings["build_pages"] = round(t_build_pages, 3)
+
+    # -- documents corpus build (driver testdata) --------------------------
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs_sf = pq.ParquetFile(docs_path).metadata.num_rows
+    ix_docs = f"/tmp/pyfuseray_bench_ixdocs_{num_cpus}"
+    t0 = time.perf_counter()
+    build_index(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        ix_docs,
+        num_buckets=4,
+        num_salts=4,  # 31-term vocab: every term is hot, salting is load-bearing
+        overwrite=True,
+    )
+    timings["build_documents"] = round(time.perf_counter() - t0, 3)
+
+    # -- query latencies ----------------------------------------------------
+    searcher = IndexSearcher(ix_pages)
+    per_query: dict[str, float] = {}
+    lat_wand, lat_tfidf = [], []
+    for q in QUERIES:
+        runs_w, runs_t = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            searcher.search_bm25(q, 10, algorithm="wand")
+            runs_w.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            searcher.search_tfidf(q, 10)
+            runs_t.append(time.perf_counter() - t0)
+        per_query[q] = round(statistics.median(runs_w), 5)
+        lat_wand.append(statistics.median(runs_w))
+        lat_tfidf.append(statistics.median(runs_t))
+
+    result = {
+        "metric": "pages index build wall time (ingest+tokenize+shuffle+segments+stats)",
+        "value": round(t_build_pages, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_docs_sf": n_docs_sf,
+        "docs_per_sec_pages": round(n_pages / t_build_pages, 1),
+        "build_documents_sec": timings["build_documents"],
+        "docs_per_sec_documents": round(n_docs_sf / timings["build_documents"], 1),
+        "bm25_wand_p50_ms": round(1000 * statistics.median(lat_wand), 3),
+        "tfidf_p50_ms": round(1000 * statistics.median(lat_tfidf), 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (pages index build, 8 -> 32 CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec_pages"],
+        "docs_per_sec_32": r_hi["docs_per_sec_pages"],
+        "n_pages": r_lo["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

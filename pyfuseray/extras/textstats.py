@@ -1,0 +1,154 @@
+"""Text analysis stages for training-data pipelines: token counting,
+language-ID, quality scoring, document fingerprinting.
+
+All are vectorized-per-batch ``map_batches`` stages over the documents
+table; the SQL-expressible ones (token counts, fingerprint, quality
+score) have DuckDB oracles in ``__ray_entry__``; lang-ID is a
+rows-only-checked heuristic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import ray.data as rd
+
+_SIMPLE_TOKEN = re.compile(r"[a-z0-9]+")
+_WS = re.compile(r"\s+")
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "las", "por"},
+    "de": {"der", "die", "und", "das", "nicht", "von", "mit", "den", "ein", "zu"},
+    "fr": {"le", "la", "les", "des", "est", "et", "une", "dans", "que", "pour"},
+}
+
+
+def simple_tokens(text: str) -> list[str]:
+    return _SIMPLE_TOKEN.findall((text or "").lower())
+
+
+def token_count_stage(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens) with the simple [a-z0-9]+ tokenizer — the
+    SQL-checkable token counter (DuckDB regexp_extract_all oracle)."""
+    counts = [len(simple_tokens(t)) for t in batch.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def fingerprint_stage(batch: pa.Table) -> pa.Table:
+    """(doc_id, fingerprint): md5 of whitespace-normalized lowercased text."""
+    fps = [
+        hashlib.md5(_WS.sub(" ", (t or "").lower()).strip().encode("utf-8", "replace")).hexdigest()
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, type=pa.string())}
+    )
+
+
+def quality_stage(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars, n_tokens, mean_token_len, digit_ratio, quality).
+
+    quality = clamped 0..1 combination of length and digit-noise signals,
+    defined so a DuckDB oracle can reproduce it exactly (see
+    __ray_entry__.oracle_sql['quality_score']); all floats rounded to 6dp.
+    """
+    texts = batch.column("text").to_pylist()
+    n_chars, n_toks, mean_len, digit_ratio, quality = [], [], [], [], []
+    for t in texts:
+        t = t or ""
+        toks = simple_tokens(t)
+        nc, nt = len(t), len(toks)
+        ml = (sum(len(x) for x in toks) / nt) if nt else 0.0
+        nd = sum(ch.isdigit() for ch in t)
+        dr = nd / nc if nc else 0.0
+        q = min(1.0, nt / 100.0) * (1.0 - dr)
+        n_chars.append(nc)
+        n_toks.append(nt)
+        mean_len.append(round(ml, 6))
+        digit_ratio.append(round(dr, 6))
+        quality.append(round(q, 6))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_tokens": pa.array(n_toks, type=pa.int64()),
+            "mean_token_len": pa.array(mean_len, type=pa.float64()),
+            "digit_ratio": pa.array(digit_ratio, type=pa.float64()),
+            "quality": pa.array(quality, type=pa.float64()),
+        }
+    )
+
+
+class LangIdStage:
+    """Actor-pool language-ID: stopword-marker hit ratio per language,
+    argmax with 'und' (undetermined) fallback. Marker tables built once
+    per actor."""
+
+    def __init__(self):
+        self.markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = []
+        for t in batch.column("text").to_pylist():
+            toks = simple_tokens(t)
+            if not toks:
+                langs.append("und")
+                continue
+            scores = {
+                lang: sum(tok in ws for tok in toks) for lang, ws in self.markers.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            langs.append(best if scores[best] > 0 else "und")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(langs, type=pa.string())}
+        )
+
+
+def rolling_hash_fingerprint(text: str, window: int = 16) -> int:
+    """Winnowing-style document fingerprint: min rolling (Rabin-Karp)
+    hash over character windows — stable under small appends."""
+    t = _WS.sub(" ", (text or "").lower()).strip()
+    if len(t) < window:
+        return zlib_crc(t)
+    base, mod = 257, (1 << 61) - 1
+    h = 0
+    power = pow(base, window - 1, mod)
+    best = None
+    for i, ch in enumerate(t):
+        h = (h * base + ord(ch)) % mod
+        if i >= window:
+            h = (h - ord(t[i - window]) * power * base) % mod
+        if i >= window - 1:
+            best = h if best is None else min(best, h)
+    return int(best)
+
+
+def zlib_crc(t: str) -> int:
+    import zlib
+
+    return zlib.crc32(t.encode("utf-8", "replace"))
+
+
+def token_counts(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(token_count_stage, batch_format="pyarrow")
+
+
+def fingerprints(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(fingerprint_stage, batch_format="pyarrow")
+
+
+def quality_scores(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(quality_stage, batch_format="pyarrow")
+
+
+def lang_id(ds: rd.Dataset, concurrency: int | tuple[int, int] = (1, 4)) -> rd.Dataset:
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=concurrency)
