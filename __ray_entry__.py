@@ -269,10 +269,9 @@ def _q_ft_df_stemmed(sf_dir: str):
     import ray.data as rd
 
     ix = _ensure_index(sf_dir)
-    import glob
-
-    files = sorted(glob.glob(os.path.join(ix, "segments", "part-*", "*.parquet")))
-    return rd.read_parquet(files).select_columns(["term", "df", "cf"])
+    return rd.read_parquet(os.path.join(ix, "segments")).select_columns(
+        ["term", "df", "cf"]
+    )
 
 
 def _search_table(sf_dir: str, scoring: str, algorithm: str = "taat"):

@@ -7,7 +7,7 @@ per-bucket groupby in stage C):
      postings_raw/bucket=k/*.parquet (term-hash partitioned on disk)
   B. stats: doclen/avgdl via partial-aggregating groupby over postings
   C. segments: per bucket, groupby((term, salt)).map_groups(encode) ->
-     stitch -> term-sorted segments/part-k/.  Resumable per bucket.
+     stitch -> term-sorted segments/bucket=k/.  Resumable per bucket.
   D. df projection + exact norms from the (much smaller) segments
   E. manifest finalize
 
@@ -15,7 +15,7 @@ Index layout (SURVEY.md §7.7):
   out_dir/
     manifest.json
     postings_raw/bucket=k/*.parquet
-    segments/part-k/*.parquet
+    segments/bucket=k/*.parquet
     stats/doclen.parquet  stats/df.parquet  stats/norms.parquet
 """
 
@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow as pa
 import ray.data as rd
@@ -40,23 +42,74 @@ from pyfuseray.segments import build_bucket_segment
 from pyfuseray.stats import df_dataset, doclen_dataset, norms_dataset
 
 
-def _segment_checksum(seg: rd.Dataset) -> tuple[int, int]:
-    """Order-insensitive content checksum + row count of segment rows."""
+def _pin_fsspec_http_stub() -> None:
+    """Make ``fsspec.implementations.http`` importable exactly once.
 
-    def partial(batch: pa.Table) -> pa.Table:
-        acc = 0
-        terms = batch.column("term").to_pylist()
-        dfs = batch.column("df").to_pylist()
-        blobs = batch.column("blob").to_pylist()
-        for t, d, b in zip(terms, dfs, blobs):
-            acc = row_checksum_update(acc, t.encode(), str(d).encode(), b)
-        return pa.table({"acc": pa.array([str(acc)]), "rows": pa.array([batch.num_rows])})
+    In this environment the module fails to import (aiohttp is absent);
+    Python evicts failed modules from sys.modules, so Ray's per-call
+    ``from fsspec.implementations.http import HTTPFileSystem`` probe
+    re-imports it every time — and two driver threads doing so
+    concurrently race on the half-initialized module, raising a plain
+    ImportError that escapes Ray's ModuleNotFoundError guard. Pinning a
+    sentinel module (whose HTTPFileSystem matches nothing) makes the
+    probe a cached no-op, which is also the semantically right answer:
+    no HTTP filesystems exist here.
+    """
+    import sys
+    import types
 
-    acc, rows = 0, 0
-    for b in seg.map_batches(partial, batch_format="pyarrow").iter_rows():
-        acc = (acc + int(b["acc"])) % (1 << 128)
-        rows += int(b["rows"])
-    return acc, rows
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)
+    except ImportError:
+        mod = types.ModuleType(name)
+
+        class HTTPFileSystem:  # sentinel: never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules[name] = mod
+
+
+def _checksum_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch, per-bucket partial of the order-insensitive checksum,
+    row count, and posting count."""
+    terms = batch.column("term").to_pylist()
+    dfs = batch.column("df").to_pylist()
+    blobs = batch.column("blob").to_pylist()
+    buckets = (
+        [int(x) for x in batch.column("bucket").to_pylist()]
+        if "bucket" in batch.column_names
+        else [0] * batch.num_rows
+    )
+    accs: dict[int, list[int]] = {}
+    for t, d, b, k in zip(terms, dfs, blobs, buckets):
+        cur = accs.setdefault(k, [0, 0, 0])
+        cur[0] = row_checksum_update(cur[0], t.encode(), str(d).encode(), b)
+        cur[1] += 1
+        cur[2] += int(d)
+    ks = sorted(accs)
+    return pa.table(
+        {
+            "bucket_id": pa.array(ks, pa.int32()),
+            "acc": pa.array([str(accs[k][0]) for k in ks]),
+            "rows": pa.array([accs[k][1] for k in ks]),
+            "df_sum": pa.array([accs[k][2] for k in ks]),
+        }
+    )
+
+
+def _segment_checksums(seg: rd.Dataset) -> dict[int, tuple[int, int, int]]:
+    """One pass over segment rows -> {bucket: (checksum, rows, df_sum)}."""
+    out: dict[int, list[int]] = {}
+    for b in seg.map_batches(_checksum_partial, batch_format="pyarrow").iter_rows():
+        cur = out.setdefault(int(b["bucket_id"]), [0, 0, 0])
+        cur[0] = (cur[0] + int(b["acc"])) % (1 << 128)
+        cur[1] += int(b["rows"])
+        cur[2] += int(b["df_sum"])
+    return {k: (v[0], v[1], v[2]) for k, v in out.items()}
 
 
 def build_index(
@@ -70,9 +123,11 @@ def build_index(
     tokenizer_batch_size: int = 1024,
     tokenizer_concurrency: int | tuple[int, int] | None = None,
     block_size: int | None = None,
+    bucket_parallelism: int = 4,
     overwrite: bool = False,
 ) -> Manifest:
     """Build (or resume building) an index from a (doc_id, text) Dataset."""
+    _pin_fsspec_http_stub()
     if overwrite and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -133,44 +188,72 @@ def build_index(
         m.mark_stage("doclen", wall_s=round(time.perf_counter() - t0, 3), total_tokens=int(total))
         save_manifest(out_dir, m)
 
-    # -- stage C: per-bucket segment build (resumable per bucket) ----------
-    for k in range(num_buckets):
-        if m.bucket_done(k):
-            continue
+    # -- stage C: segment build (resumable per bucket) ----------------------
+    # Layout: segments/bucket=k/*.parquet (hive). Fresh builds do ONE
+    # groupby shuffle over all buckets and a partitioned write (the wide
+    # step, amortizing per-pipeline overhead); resumed builds rebuild
+    # only the missing buckets, each from its own postings partition.
+    todo = [k for k in range(num_buckets) if not m.bucket_done(k)]
+    if len(todo) == num_buckets:
         t0 = time.perf_counter()
-        bucket_dir = os.path.join(postings_dir, f"bucket={k}")
-        part_dir = os.path.join(segments_dir, f"part-{k}")
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)  # incomplete previous attempt
-        if not os.path.exists(bucket_dir):
-            # empty bucket: record a zero entry
-            m.mark_bucket(BucketEntry(k, part_dir, 0, 0, "0", 0.0))
-            save_manifest(out_dir, m)
-            continue
-        bucket_postings = rd.read_parquet(bucket_dir)
+        if os.path.exists(segments_dir):
+            shutil.rmtree(segments_dir)  # incomplete previous attempt
         seg = build_bucket_segment(
-            bucket_postings, n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
+            postings_all, n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
             block_size=block_size,
         )
-        seg.sort("term").write_parquet(part_dir)
-        checksum, rows = _segment_checksum(rd.read_parquet(part_dir))
-        n_postings = rd.read_parquet(part_dir).sum("df") or 0
-        m.mark_bucket(
-            BucketEntry(
-                bucket=k,
-                path=part_dir,
-                rows=rows,
-                n_postings=int(n_postings),
-                checksum=str(checksum),
-                build_ms=round((time.perf_counter() - t0) * 1000, 1),
+        seg.sort("term").write_parquet(segments_dir, partition_cols=["bucket"])
+        stage_ms = round((time.perf_counter() - t0) * 1000, 1)
+        sums = _segment_checksums(rd.read_parquet(segments_dir))
+        for k in range(num_buckets):
+            part_dir = os.path.join(segments_dir, f"bucket={k}")
+            checksum, rows, n_postings = sums.get(k, (0, 0, 0))
+            m.mark_bucket(
+                BucketEntry(k, part_dir, rows, int(n_postings), str(checksum), stage_ms)
             )
-        )
         save_manifest(out_dir, m)
+    elif todo:
+        manifest_lock = threading.Lock()
 
-    import glob
+        def _build_bucket(k: int) -> None:
+            t0 = time.perf_counter()
+            bucket_dir = os.path.join(postings_dir, f"bucket={k}")
+            part_dir = os.path.join(segments_dir, f"bucket={k}")
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)  # incomplete previous attempt
+            if not os.path.exists(bucket_dir):
+                entry = BucketEntry(k, part_dir, 0, 0, "0", 0.0)
+            else:
+                seg = build_bucket_segment(
+                    rd.read_parquet(bucket_dir),
+                    n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
+                    block_size=block_size, bucket=k,
+                )
+                seg.sort("term").write_parquet(segments_dir, partition_cols=["bucket"])
+                # a leaf-dir read may or may not hive-infer the bucket
+                # column from the path; either way there's exactly one
+                # bucket here, so merge whatever keys came back
+                sums = _segment_checksums(rd.read_parquet(part_dir)).values()
+                checksum = sum(v[0] for v in sums) % (1 << 128)
+                rows = sum(v[1] for v in sums)
+                n_postings = sum(v[2] for v in sums)
+                entry = BucketEntry(
+                    bucket=k,
+                    path=part_dir,
+                    rows=rows,
+                    n_postings=int(n_postings),
+                    checksum=str(checksum),
+                    build_ms=round((time.perf_counter() - t0) * 1000, 1),
+                )
+            with manifest_lock:
+                m.mark_bucket(entry)
+                save_manifest(out_dir, m)
 
-    seg_files = sorted(glob.glob(os.path.join(segments_dir, "part-*", "*.parquet")))
-    segments_all = rd.read_parquet(seg_files)
+        with ThreadPoolExecutor(max_workers=min(bucket_parallelism, len(todo))) as pool:
+            for fut in [pool.submit(_build_bucket, k) for k in todo]:
+                fut.result()
+
+    segments_all = rd.read_parquet(segments_dir)
 
     # -- stage D: df + exact norms ------------------------------------------
     if not m.stage_done("df"):

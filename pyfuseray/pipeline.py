@@ -40,22 +40,41 @@ def build_from_pages(
 ) -> Manifest:
     """Full ingest + index build from a pages Dataset.
 
-    If ``corpus_dir`` is given the ingested corpus (doc_id, url, text)
-    is persisted there first (resume point + docmap join side) and the
-    index builds from the parquet re-read, so the expensive ingest
-    never re-executes across build stages.
+    The ingest is staged so nothing recomputes: extract+dedup writes a
+    parquet checkpoint, doc_id assignment reads it back (row count comes
+    free from parquet metadata), and the final (doc_id, url, text)
+    corpus is itself persisted before the index build re-reads it.
+    Without ``corpus_dir`` the Dataset pipeline stays lazy (small-corpus
+    and test path).
     """
-    corpus = pages_to_corpus(pages)
-    if corpus_dir is not None:
-        import os
-        import shutil
+    if corpus_dir is None:
+        corpus = pages_to_corpus(pages)
+        return build_index(corpus.select_columns(["doc_id", "text"]), out_dir, **build_kwargs)
 
-        if build_kwargs.get("overwrite") and os.path.exists(corpus_dir):
-            shutil.rmtree(corpus_dir)
-        if not os.path.isdir(corpus_dir) or not any(os.scandir(corpus_dir)):
-            corpus.write_parquet(corpus_dir)
-        corpus = rd.read_parquet(corpus_dir)
-    return build_index(corpus.select_columns(["doc_id", "text"]), out_dir, **build_kwargs)
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    if build_kwargs.get("overwrite") and os.path.exists(corpus_dir):
+        shutil.rmtree(corpus_dir)
+    stage0 = os.path.join(corpus_dir, "stage0")
+    final = os.path.join(corpus_dir, "corpus")
+    if not os.path.isdir(final) or not any(os.scandir(final)):
+        # stage 0: extract (drop html) + exact dedup, persisted once
+        extracted = pages.map_batches(extract_batch, batch_format="pyarrow")
+        dedup_keep_first(extracted, key="url", order_col="warc_ts").write_parquet(stage0)
+        n_rows = sum(
+            pq.ParquetFile(os.path.join(stage0, f)).metadata.num_rows
+            for f in os.listdir(stage0)
+            if f.endswith(".parquet")
+        )
+        # stage 1: doc_id = url rank over the persisted stage-0 corpus
+        with_ids = assign_doc_ids(rd.read_parquet(stage0), n_rows=n_rows)
+        with_ids.select_columns(["doc_id", "url", "text"]).write_parquet(final)
+        shutil.rmtree(stage0)
+    corpus = rd.read_parquet(final, columns=["doc_id", "text"])
+    return build_index(corpus, out_dir, **build_kwargs)
 
 
 def search(index_dir: str, query: str, top_k: int = 10, *, scoring: str = "tfidf",

@@ -21,6 +21,7 @@ inside actor processes with stats passed as ``ray.put`` object refs.
 
 from __future__ import annotations
 
+import bisect
 import heapq
 import math
 import os
@@ -56,10 +57,9 @@ class IndexSearcher:
             raise FileNotFoundError(f"no complete index manifest in {index_dir}")
         self.manifest: Manifest = m
         self.analyzer = analyzer or Analyzer()
-        self._norm_ids: np.ndarray | None = None
         self._norm_vals: np.ndarray | None = None
-        self._dl_ids: np.ndarray | None = None
         self._dl_vals: np.ndarray | None = None
+        self._seg_datasets: dict[int, pads.Dataset] = {}
 
     # -- segment lookup -----------------------------------------------------
     def lookup(self, terms: list[str]) -> dict[str, SegmentRow]:
@@ -69,10 +69,13 @@ class IndexSearcher:
             by_bucket.setdefault(term_bucket(t, self.manifest.num_buckets), []).append(t)
         out: dict[str, SegmentRow] = {}
         for bucket, ts in by_bucket.items():
-            part = os.path.join(self.index_dir, "segments", f"part-{bucket}")
-            if not os.path.isdir(part):
-                continue
-            dataset = pads.dataset(part, format="parquet")
+            dataset = self._seg_datasets.get(bucket)
+            if dataset is None:
+                part = os.path.join(self.index_dir, "segments", f"bucket={bucket}")
+                if not os.path.isdir(part):
+                    continue
+                dataset = pads.dataset(part, format="parquet")
+                self._seg_datasets[bucket] = dataset
             tbl = dataset.to_table(filter=pads.field("term").isin(ts))
             for i in range(tbl.num_rows):
                 row = {c: tbl.column(c)[i].as_py() for c in
@@ -90,33 +93,30 @@ class IndexSearcher:
         return out
 
     # -- stats sidecars -----------------------------------------------------
-    def _load_sorted(self, rel: str, val_col: str) -> tuple[np.ndarray, np.ndarray]:
+    # doc_ids are dense ranks (0..N-1), so sidecars load into dense numpy
+    # arrays indexed by doc_id: O(1) lookups in scoring loops.
+    def _load_dense(self, rel: str, val_col: str, default: float) -> np.ndarray:
         path = os.path.join(self.index_dir, "stats", rel)
         tbl = pads.dataset(path, format="parquet").to_table()
         ids = tbl.column("doc_id").to_numpy()
-        vals = tbl.column(val_col).to_numpy()
-        order = np.argsort(ids, kind="stable")
-        return ids[order], vals[order]
+        vals = tbl.column(val_col).to_numpy().astype(np.float64)
+        size = max(self.manifest.n_docs, int(ids.max()) + 1 if ids.size else 0)
+        dense = np.full(size, default, dtype=np.float64)
+        dense[ids] = vals
+        return dense
 
-    def _norms(self) -> tuple[np.ndarray, np.ndarray]:
-        if self._norm_ids is None:
-            self._norm_ids, self._norm_vals = self._load_sorted("norms.parquet", "norm")
-        return self._norm_ids, self._norm_vals
+    def _norms(self) -> np.ndarray:
+        if self._norm_vals is None:
+            # docs absent from the index have norm 1 (InvertedIndex.py:419)
+            self._norm_vals = self._load_dense("norms.parquet", "norm", 1.0)
+        return self._norm_vals
 
-    def _doclens(self) -> tuple[np.ndarray, np.ndarray]:
-        if self._dl_ids is None:
-            self._dl_ids, self._dl_vals = self._load_sorted("doclen.parquet", "dl")
-        return self._dl_ids, self._dl_vals
-
-    @staticmethod
-    def _gather(ids: np.ndarray, vals: np.ndarray, keys: np.ndarray, default: float) -> np.ndarray:
-        pos = np.searchsorted(ids, keys)
-        pos = np.clip(pos, 0, ids.size - 1) if ids.size else np.zeros_like(keys)
-        out = np.full(keys.shape, default, dtype=np.float64)
-        if ids.size:
-            hit = ids[pos] == keys
-            out[hit] = vals[pos[hit]]
-        return out
+    def _doclens(self) -> np.ndarray:
+        if self._dl_vals is None:
+            self._dl_vals = self._load_dense(
+                "doclen.parquet", "dl", self.manifest.avgdl or 1.0
+            )
+        return self._dl_vals
 
     # -- scoring ------------------------------------------------------------
     def search_tfidf(self, query: str, top_k: int = 10) -> list[tuple[int, float]]:
@@ -148,8 +148,7 @@ class IndexSearcher:
         scores = np.add.reduceat(contribs, starts)
         query_norm = math.sqrt(query_norm)
         if query_norm > 0:
-            ids, vals = self._norms()
-            norms = self._gather(ids, vals, uniq, 1.0)
+            norms = self._norms()[uniq]
             nz = norms != 0
             scores[nz] = scores[nz] / (query_norm * norms[nz])
         return _topk(uniq, scores, top_k)
@@ -158,7 +157,7 @@ class IndexSearcher:
         self,
         query: str,
         top_k: int = 10,
-        algorithm: str = "taat",
+        algorithm: str = "auto",
         k1: float = BM25_K1,
         b: float = BM25_B,
     ) -> list[tuple[int, float]]:
@@ -169,18 +168,27 @@ class IndexSearcher:
         present = [t for t in sorted(terms) if t in rows]
         if not present:
             return []
+        seg_rows = [rows[t] for t in present]
+        if algorithm == "auto":
+            # WAND's doc-at-a-time loop only wins when it can skip; with
+            # dense posting lists (a large fraction of the corpus per term)
+            # the vectorized exhaustive TAAT path is faster. Heuristic:
+            # skipping pays off when the query's lists are selective.
+            total = sum(r.df for r in seg_rows)
+            dense = total >= 0.05 * self.manifest.n_docs * max(1, len(seg_rows))
+            algorithm = "taat" if dense else "wand"
         if algorithm == "wand":
-            return self._bm25_wand([rows[t] for t in present], top_k, k1, b)
-        return self._bm25_taat([rows[t] for t in present], top_k, k1, b)
+            return self._bm25_wand(seg_rows, top_k, k1, b)
+        return self._bm25_taat(seg_rows, top_k, k1, b)
 
     def _bm25_taat(self, seg_rows: list[SegmentRow], top_k: int, k1: float, b: float) -> list[tuple[int, float]]:
         n = self.manifest.n_docs
         avgdl = self.manifest.avgdl or 1.0
-        dl_ids, dl_vals = self._doclens()
+        dl_dense = self._doclens()
         doc_parts, s_parts = [], []
         for row in seg_rows:
             doc_ids, tfs = decode_postings(row.blob, row.offset)
-            dls = self._gather(dl_ids, dl_vals, doc_ids, avgdl)
+            dls = dl_dense[doc_ids]
             idf = bm25_idf(row.df, n)
             tf = tfs.astype(np.float64)
             denom = tf + k1 * (1.0 - b + b * dls / avgdl)
@@ -198,23 +206,25 @@ class IndexSearcher:
         """Block-max WAND with a bounded min-heap (north-star query path)."""
         n = self.manifest.n_docs
         avgdl = self.manifest.avgdl or 1.0
-        dl_ids, dl_vals = self._doclens()
+        dl_dense = self._doclens()
         cursors = [
             _Cursor(row, bm25_idf(row.df, n)) for row in seg_rows if len(row.blob)
         ]
         cursors = [c for c in cursors if c.cur_doc is not None]
         heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+        k1_plus1 = k1 + 1.0
+        one_minus_b = 1.0 - b
 
         def threshold() -> float:
             return heap[0][0] if len(heap) >= top_k else -math.inf
 
         def score_doc(doc: int) -> float:
             s = 0.0
+            dl_term = k1 * (one_minus_b + b * float(dl_dense[doc]) / avgdl)
             for c in cursors:
                 if c.cur_doc == doc:
                     tf = float(c.cur_tf)
-                    dl = self._gather(dl_ids, dl_vals, np.asarray([doc]), avgdl)[0]
-                    s += c.idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    s += c.idf * tf * k1_plus1 / (tf + dl_term)
             return s
 
         while True:
@@ -274,59 +284,73 @@ class IndexSearcher:
 
 
 class _Cursor:
-    """Lazy block-decoding posting-list cursor for WAND."""
+    """Lazy block-decoding posting-list cursor for WAND.
 
-    __slots__ = ("row", "idf", "term_ub", "block_idx", "pos", "docs", "tfs", "cur_doc", "cur_tf")
+    Hot-loop state lives in Python lists + bisect (faster than numpy for
+    per-element access); blocks decode lazily via the numpy codec.
+    """
+
+    __slots__ = (
+        "row", "idf", "term_ub", "block_idx", "pos",
+        "docs", "tfs", "cur_doc", "cur_tf",
+        "_last", "_maxs", "_nblocks",
+    )
 
     def __init__(self, row: SegmentRow, idf: float):
         self.row = row
         self.idf = idf
-        self.term_ub = float(row.max_bm25.max()) if row.max_bm25.size else idf * (BM25_K1 + 1.0)
+        self._last: list[int] = row.last_doc.tolist()
+        self._maxs: list[float] = row.max_bm25.tolist()
+        self._nblocks = len(self._last)
+        self.term_ub = max(self._maxs) if self._maxs else idf * (BM25_K1 + 1.0)
         self.block_idx = -1
-        self.docs: np.ndarray | None = None
-        self.tfs: np.ndarray | None = None
+        self.docs: list[int] = []
+        self.tfs: list[int] = []
         self.cur_doc: int | None = None
         self.cur_tf = 0
         self._open_block(0)
 
     def _open_block(self, idx: int) -> None:
-        if idx >= self.row.offset.size:
+        if idx >= self._nblocks:
             self.cur_doc = None
             return
         self.block_idx = idx
-        self.docs, self.tfs = decode_block(self.row.blob, self.row.offset, idx)
+        d, t = decode_block(self.row.blob, self.row.offset, idx)
+        self.docs = d.tolist()
+        self.tfs = t.tolist()
         self.pos = 0
-        self.cur_doc = int(self.docs[0])
-        self.cur_tf = int(self.tfs[0])
+        self.cur_doc = self.docs[0]
+        self.cur_tf = self.tfs[0]
 
     def next_geq(self, target: int) -> None:
         if self.cur_doc is None:
             return
-        last = self.row.last_doc
-        if last[self.block_idx] < target:
+        if self._last[self.block_idx] < target:
             # skip whole blocks via last_doc metadata
-            idx = int(np.searchsorted(last, target))
-            if idx >= last.size:
+            idx = bisect.bisect_left(self._last, target)
+            if idx >= self._nblocks:
                 self.cur_doc = None
                 return
             self._open_block(idx)
+            pos = bisect.bisect_left(self.docs, target)
+        else:
+            pos = bisect.bisect_left(self.docs, target, self.pos)
         # current block's last_doc >= target, so the position exists
-        pos = int(np.searchsorted(self.docs, target, side="left"))
         self.pos = pos
-        self.cur_doc = int(self.docs[pos])
-        self.cur_tf = int(self.tfs[pos])
+        self.cur_doc = self.docs[pos]
+        self.cur_tf = self.tfs[pos]
 
     def block_max_at(self, doc: int) -> float:
-        idx = int(np.searchsorted(self.row.last_doc, doc))
-        if idx >= self.row.max_bm25.size:
-            return 0.0
-        return float(self.row.max_bm25[idx])
+        if doc <= self._last[self.block_idx]:
+            return self._maxs[self.block_idx]
+        idx = bisect.bisect_left(self._last, doc)
+        return self._maxs[idx] if idx < self._nblocks else 0.0
 
     def block_last_at(self, doc: int) -> int:
-        idx = int(np.searchsorted(self.row.last_doc, doc))
-        if idx >= self.row.last_doc.size:
-            return 1 << 62
-        return int(self.row.last_doc[idx])
+        if doc <= self._last[self.block_idx]:
+            return self._last[self.block_idx]
+        idx = bisect.bisect_left(self._last, doc)
+        return self._last[idx] if idx < self._nblocks else 1 << 62
 
 
 def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:

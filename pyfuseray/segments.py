@@ -36,6 +36,7 @@ from pyfuseray.scoring import BM25_B, BM25_K1, bm25_idf
 SEGMENT_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
+        ("bucket", pa.int32()),
         ("df", pa.int64()),
         ("cf", pa.int64()),
         ("blob", pa.binary()),
@@ -49,6 +50,7 @@ SEGMENT_SCHEMA = pa.schema(
 _ENC_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
+        ("bucket", pa.int32()),
         ("salt", pa.int64()),
         ("df", pa.int64()),
         ("cf", pa.int64()),
@@ -75,6 +77,7 @@ def make_encode_group(avgdl: float, block_size: int | None = None):
 
     def encode_group(group: dict[str, np.ndarray]) -> pa.Table:
         term = str(group["term"][0])
+        bucket = int(group["bucket"][0])
         salt = int(group["salt"][0])
         doc_ids = group["doc_id"].astype(np.int64)
         tfs = group["tf"].astype(np.int64)
@@ -94,6 +97,7 @@ def make_encode_group(avgdl: float, block_size: int | None = None):
         return pa.table(
             {
                 "term": [term],
+                "bucket": [bucket],
                 "salt": [salt],
                 "df": [int(doc_ids.size)],
                 "cf": [int(tfs.sum())],
@@ -130,6 +134,7 @@ def make_finalize(n_docs: int):
         return pa.table(
             {
                 "term": [rows["term"].iloc[0]],
+                "bucket": [int(rows["bucket"].iloc[0])],
                 "df": [df],
                 "cf": [int(rows["cf"].sum())],
                 "blob": [stitched.blob],
@@ -151,11 +156,14 @@ def build_bucket_segment(
     avgdl: float,
     num_salts: int = 1,
     block_size: int | None = None,
+    bucket: int | None = None,
 ) -> rd.Dataset:
-    """Build the segment rows for one bucket's postings dataset.
+    """Build the segment rows for a postings dataset (one bucket or all).
 
     ``num_salts`` = S; salt = doc_id * S // n_docs bounds every shuffle
-    group at ~n_docs/S docs regardless of term hotness.
+    group at ~n_docs/S docs regardless of term hotness. ``bucket`` sets
+    a constant bucket id when the input is a single bucket's leaf dir
+    (hive reads of the root already carry the column).
     """
     s = max(1, int(num_salts))
     n = max(1, int(n_docs))
@@ -163,6 +171,15 @@ def build_bucket_segment(
     def add_salt(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
         salt = (doc.astype(np.int64) * s) // n
+        if "bucket" in batch.column_names:
+            idx = batch.column_names.index("bucket")
+            batch = batch.set_column(
+                idx, "bucket", batch.column("bucket").cast(pa.int32())
+            )
+        else:
+            batch = batch.append_column(
+                "bucket", pa.array(np.full(batch.num_rows, bucket or 0, dtype=np.int32))
+            )
         return batch.append_column("salt", pa.array(salt, type=pa.int64()))
 
     salted = postings.map_batches(add_salt, batch_format="pyarrow")
@@ -181,6 +198,7 @@ def build_bucket_segment(
             return pa.table(
                 {
                     "term": batch.column("term"),
+                    "bucket": batch.column("bucket"),
                     "df": batch.column("df"),
                     "cf": batch.column("cf"),
                     "blob": batch.column("blob"),

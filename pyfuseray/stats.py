@@ -19,18 +19,36 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max
 
 from pyfuseray.codec import decode_postings
 from pyfuseray.scoring import tfidf_weight_vec
 
 
 def doclen_dataset(postings: rd.Dataset) -> rd.Dataset:
-    """(doc_id, dl) from postings rows; dl = sum of tfs per doc."""
+    """(doc_id, dl) from postings rows.
+
+    dl is carried on every posting row, so a per-batch (doc_id, dl)
+    dedup first shrinks the shuffle from one row per POSTING to at most
+    one row per (doc, batch) — the map-side combine — before the final
+    groupby takes the max (all values per doc are equal)."""
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(doc, return_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "dl": pa.array(dl[idx].astype(np.int64), type=pa.int64()),
+            }
+        )
+
     return (
-        postings.select_columns(["doc_id", "tf"])
+        postings.select_columns(["doc_id", "dl"])
+        .map_batches(batch_unique, batch_format="pyarrow")
         .groupby("doc_id")
-        .aggregate(Sum("tf", alias_name="dl"))
+        .aggregate(Max("dl", alias_name="dl"))
     )
 
 

@@ -22,7 +22,7 @@ def _corpus():
 
 
 def _segment_content(index_dir):
-    files = sorted(glob.glob(os.path.join(index_dir, "segments", "part-*", "*.parquet")))
+    files = sorted(glob.glob(os.path.join(index_dir, "segments", "bucket=*", "*.parquet")))
     tbl = pads.dataset(files).to_table()
     rows = sorted(
         zip(
@@ -53,9 +53,9 @@ def test_resume_after_partial_segments(tmp_path):
     for stage in ("df", "norms", "done"):
         m["stages"].pop(stage, None)
     json.dump(m, open(manifest_path(crash_dir), "w"))
-    shutil.rmtree(os.path.join(crash_dir, "segments", "part-2"))
+    shutil.rmtree(os.path.join(crash_dir, "segments", "bucket=2"))
     # bucket 3: leave a PARTIAL write behind — resume must discard it
-    part3 = os.path.join(crash_dir, "segments", "part-3")
+    part3 = os.path.join(crash_dir, "segments", "bucket=3")
     for f in sorted(glob.glob(os.path.join(part3, "*.parquet")))[1:]:
         os.unlink(f)
     for stats in ("df.parquet", "norms.parquet"):
