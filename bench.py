@@ -36,6 +36,10 @@ def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_pages = int(os.environ.get("PYFUSERAY_BENCH_DOCS", "40000"))
+    vocab = int(os.environ.get("PYFUSERAY_BENCH_VOCAB", "20000"))
+    wlo, whi = (
+        int(x) for x in os.environ.get("PYFUSERAY_BENCH_WORDS", "80,400").split(",")
+    )
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
@@ -53,10 +57,11 @@ def run_bench() -> dict:
     from pyfuseray.query import IndexSearcher
 
     # -- corpus prep (untimed; cached across runs) -------------------------
-    pages_path = f"/tmp/pyfuseray_bench_pages_{n_pages}.parquet"
+    pages_path = f"/tmp/pyfuseray_bench_pages_{n_pages}_{vocab}_{wlo}_{whi}.parquet"
     if not os.path.exists(pages_path):
         pq.write_table(
-            synth_pages(n_pages, seed=42, null_text_frac=0.15, dup_frac=0.02),
+            synth_pages(n_pages, seed=42, null_text_frac=0.15, dup_frac=0.02,
+                        vocab_size=vocab, words_per_doc=(wlo, whi)),
             pages_path,
         )
     # warm the OS page cache so we measure compute+shuffle, not first read
@@ -96,17 +101,21 @@ def run_bench() -> dict:
     # -- query latencies ----------------------------------------------------
     searcher = IndexSearcher(ix_pages)
     per_query: dict[str, float] = {}
-    lat_wand, lat_tfidf = [], []
+    lat_auto, lat_wand, lat_tfidf = [], [], []
     for q in QUERIES:
-        runs_w, runs_t = [], []
+        runs_a, runs_w, runs_t = [], [], []
         for _ in range(5):
+            t0 = time.perf_counter()
+            searcher.search_bm25(q, 10, algorithm="auto")
+            runs_a.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             searcher.search_bm25(q, 10, algorithm="wand")
             runs_w.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             searcher.search_tfidf(q, 10)
             runs_t.append(time.perf_counter() - t0)
-        per_query[q] = round(statistics.median(runs_w), 5)
+        per_query[q] = round(statistics.median(runs_a), 5)
+        lat_auto.append(statistics.median(runs_a))
         lat_wand.append(statistics.median(runs_w))
         lat_tfidf.append(statistics.median(runs_t))
 
@@ -122,6 +131,7 @@ def run_bench() -> dict:
         "docs_per_sec_pages": round(n_pages / t_build_pages, 1),
         "build_documents_sec": timings["build_documents"],
         "docs_per_sec_documents": round(n_docs_sf / timings["build_documents"], 1),
+        "bm25_p50_ms": round(1000 * statistics.median(lat_auto), 3),
         "bm25_wand_p50_ms": round(1000 * statistics.median(lat_wand), 3),
         "tfidf_p50_ms": round(1000 * statistics.median(lat_tfidf), 3),
     }
@@ -132,6 +142,9 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling runs use a corpus big enough that compute + shuffle
+        # dominate the fixed pipeline overheads at both CPU counts
+        env.setdefault("PYFUSERAY_BENCH_DOCS", "160000")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,

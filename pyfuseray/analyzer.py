@@ -58,6 +58,10 @@ class Analyzer:
     def __init__(self, stoplist: frozenset[str] | None = None):
         self.stoplist = stoplist if stoplist is not None else load_stoplist()
         self._stem_cache: dict[str, str] = {}
+        # raw token -> final term (or None if dropped): collapses the
+        # stoplist + punctuation-strip + stem chain to one dict hit for
+        # the (zipfian) repeating tokens of the hot build path
+        self._token_cache: dict[str, str | None] = {}
 
     # -- stages ------------------------------------------------------------
     def tokenize(self, text: str) -> list[str]:
@@ -93,11 +97,29 @@ class Analyzer:
 
     # -- chains ------------------------------------------------------------
     def process_text(self, text: str) -> list[str]:
-        """Build-side chain (keeps 1-char tokens)."""
-        tokens = self.tokenize(text)
-        tokens = self.remove_stopwords(tokens)
-        tokens = self.strip_punctuation(tokens)
-        return self.stem_tokens(tokens)
+        """Build-side chain (keeps 1-char tokens).
+
+        Semantically identical to
+        ``stem(strip_punct(stop(tokenize(text))))`` but with the
+        per-token tail memoized (same result, one dict hit per repeat).
+        """
+        out: list[str] = []
+        cache = self._token_cache
+        stoplist = self.stoplist
+        for tok in self.tokenize(text):
+            if tok in cache:
+                r = cache[tok]
+            else:
+                if tok in stoplist:
+                    r = None
+                else:
+                    stripped = _NON_WORD.sub("", tok)
+                    r = self.stem_tokens([stripped])[0] if stripped else None
+                if len(cache) < self._STEM_CACHE_MAX:
+                    cache[tok] = r
+            if r is not None:
+                out.append(r)
+        return out
 
     def term_frequencies(self, text: str) -> dict[str, int]:
         """Build-side per-document term frequencies."""

@@ -5,10 +5,11 @@ per-bucket groupby in stage C):
 
   A. tokenize: map_batches(TokenizerStage actor pool) ->
      postings_raw/bucket=k/*.parquet (term-hash partitioned on disk)
-  B. stats: doclen/avgdl via partial-aggregating groupby over postings
-  C. segments: per bucket, groupby((term, salt)).map_groups(encode) ->
-     stitch -> term-sorted segments/bucket=k/.  Resumable per bucket.
-  D. df projection + exact norms from the (much smaller) segments
+  B. avgdl: native shuffle-free sum(tf) over postings
+  C. segments: groupby((term, salt)).map_groups(encode) -> stitch ->
+     term-sorted segments/bucket=k/.  Resumable per bucket.
+  D. df projection (no shuffle) + docstats (doc length AND exact norms
+     in one doc_id-keyed shuffle over the compressed segments)
   E. manifest finalize
 
 Index layout (SURVEY.md §7.7):
@@ -16,7 +17,7 @@ Index layout (SURVEY.md §7.7):
     manifest.json
     postings_raw/bucket=k/*.parquet
     segments/bucket=k/*.parquet
-    stats/doclen.parquet  stats/df.parquet  stats/norms.parquet
+    stats/df.parquet  stats/docstats.parquet
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ from pyfuseray.checkpoint import (
 )
 from pyfuseray.postings import DEFAULT_NUM_BUCKETS, TokenizerStage
 from pyfuseray.segments import build_bucket_segment
-from pyfuseray.stats import df_dataset, doclen_dataset, norms_dataset
+from pyfuseray.stats import df_dataset, docstats_dataset, total_tokens
 
 
 def _pin_fsspec_http_stub() -> None:
@@ -174,18 +175,13 @@ def build_index(
 
     postings_all = rd.read_parquet(postings_dir)
 
-    # -- stage B: doclen + avgdl -------------------------------------------
-    if not m.stage_done("doclen"):
+    # -- stage B: avgdl (native shuffle-free aggregate) --------------------
+    if not m.stage_done("avgdl"):
         t0 = time.perf_counter()
-        doclen = doclen_dataset(postings_all)
-        path = os.path.join(stats_dir, "doclen.parquet")
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        doclen.write_parquet(path)
-        total = rd.read_parquet(path).sum("dl") or 0
-        m.total_postings = int(total)
+        total = total_tokens(postings_all)
+        m.total_postings = total
         m.avgdl = (total / n_docs) if n_docs else 0.0
-        m.mark_stage("doclen", wall_s=round(time.perf_counter() - t0, 3), total_tokens=int(total))
+        m.mark_stage("avgdl", wall_s=round(time.perf_counter() - t0, 3), total_tokens=total)
         save_manifest(out_dir, m)
 
     # -- stage C: segment build (resumable per bucket) ----------------------
@@ -202,7 +198,12 @@ def build_index(
             postings_all, n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
             block_size=block_size,
         )
-        seg.sort("term").write_parquet(segments_dir, partition_cols=["bucket"])
+        seg.sort("term").write_parquet(
+            segments_dir, partition_cols=["bucket"],
+            # small files => small row groups: term-point lookups prune
+            # via parquet statistics instead of decoding whole files
+            max_rows_per_file=256,
+        )
         stage_ms = round((time.perf_counter() - t0) * 1000, 1)
         sums = _segment_checksums(rd.read_parquet(segments_dir))
         for k in range(num_buckets):
@@ -229,7 +230,12 @@ def build_index(
                     n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
                     block_size=block_size, bucket=k,
                 )
-                seg.sort("term").write_parquet(segments_dir, partition_cols=["bucket"])
+                seg.sort("term").write_parquet(
+            segments_dir, partition_cols=["bucket"],
+            # small files => small row groups: term-point lookups prune
+            # via parquet statistics instead of decoding whole files
+            max_rows_per_file=256,
+        )
                 # a leaf-dir read may or may not hive-infer the bucket
                 # column from the path; either way there's exactly one
                 # bucket here, so merge whatever keys came back
@@ -265,13 +271,13 @@ def build_index(
         m.mark_stage("df", wall_s=round(time.perf_counter() - t0, 3))
         save_manifest(out_dir, m)
 
-    if not m.stage_done("norms"):
+    if not m.stage_done("docstats"):
         t0 = time.perf_counter()
-        path = os.path.join(stats_dir, "norms.parquet")
+        path = os.path.join(stats_dir, "docstats.parquet")
         if os.path.exists(path):
             shutil.rmtree(path)
-        norms_dataset(segments_all, n_docs).sort("doc_id").write_parquet(path)
-        m.mark_stage("norms", wall_s=round(time.perf_counter() - t0, 3))
+        docstats_dataset(segments_all, n_docs).sort("doc_id").write_parquet(path)
+        m.mark_stage("docstats", wall_s=round(time.perf_counter() - t0, 3))
         save_manifest(out_dir, m)
 
     m.mark_stage("done")

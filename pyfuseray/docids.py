@@ -30,7 +30,57 @@ def _fingerprint(text: str) -> str:
 def dedup_keep_first(ds: rd.Dataset, key: str = "url", order_col: str = "warc_ts") -> rd.Dataset:
     """Exact dedup by ``key``: keep the row with the smallest
     ``(order_col, md5(text))`` — the deterministic analogue of
-    pandas keep='first' (hash-partition by key + per-group min)."""
+    pandas keep='first'.
+
+    Skew-aware two-pass plan (avoids per-group Python over the ~100% of
+    keys that are already unique):
+
+    1. a NATIVE vectorized ``groupby(key).count()`` finds the (small)
+       set of duplicated keys — in a crawl, a bounded fraction;
+    2. rows with unique keys stream through untouched; only rows whose
+       key is in the broadcast duplicate set go through the per-group
+       min selection.
+
+    Partitioning assumption: the duplicated-key set fits in the object
+    store (ray.put broadcast). If it ever didn't, the fallback is the
+    all-rows groupby(key).map_groups path (``_dedup_via_groups``).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    import pyarrow.compute as pc
+
+    counts = ds.groupby(key).aggregate(Count(alias_name="_n"))
+    dups_only = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("_n"), 1)).select([key]),
+        batch_format="pyarrow",
+    )
+    dup_keys = {r[key] for r in dups_only.iter_rows()}
+    if not dup_keys:
+        return ds
+    dup_ref = ray.put(dup_keys)
+
+    def split_uniques(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        mask = [k not in dups for k in batch.column(key).to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    def split_dups(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        mask = [k in dups for k in batch.column(key).to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    uniques = ds.map_batches(split_uniques, batch_format="pyarrow")
+    dup_rows = ds.map_batches(split_dups, batch_format="pyarrow")
+    resolved = _dedup_via_groups(dup_rows, key, order_col)
+    # normalize to arrow blocks: a union of pandas (map_groups) and arrow
+    # blocks breaks Ray's sort boundary sampling downstream
+    resolved = resolved.map_batches(lambda t: t, batch_format="pyarrow")
+    return uniques.union(resolved)
+
+
+def _dedup_via_groups(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
+    """Per-group keep-min path (also the no-broadcast fallback)."""
 
     def take_first(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 1:

@@ -46,25 +46,48 @@ def synth_pages(
     hot_term: str = "webhot",
     hot_frac: float = 0.5,
     words_per_doc: tuple[int, int] = (20, 120),
+    vocab_size: int = 0,
 ) -> pa.Table:
-    """Build the pages table deterministically."""
+    """Build the pages table deterministically.
+
+    ``vocab_size`` > len(base words) extends the vocabulary with derived
+    words (base + digit suffix) under a zipfian distribution — the
+    realistic long-tail regime for web text (large df table, lower
+    stem-cache hit rates, selective query terms).
+    """
     rng = np.random.default_rng(seed)
-    vocab = np.array(_VOCAB)
+    if vocab_size and vocab_size > len(_VOCAB):
+        derived = [
+            f"{_VOCAB[i % len(_VOCAB)]}{i // len(_VOCAB)}"
+            for i in range(len(_VOCAB), vocab_size)
+        ]
+        vocab = np.array(_VOCAB + derived)
+    else:
+        vocab = np.array(_VOCAB)
     # zipfian ranks over the vocab
     ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
     probs = (1.0 / ranks) / (1.0 / ranks).sum()
 
-    urls, tss, htmls, texts, langs = [], [], [], [], []
     n_unique = n_rows - int(n_rows * dup_frac)
+    # vectorized draws: one rng call per attribute, not per doc
+    nwords = rng.integers(words_per_doc[0], words_per_doc[1] + 1, size=n_rows)
+    all_idx = rng.choice(len(vocab), size=int(nwords.sum()), p=probs)
+    ends = np.cumsum(nwords)
+    starts = ends - nwords
+    has_hot = rng.random(n_rows) < hot_frac
+    hot_pos = rng.integers(0, np.maximum(nwords, 1) + 1)
+    is_null = rng.random(n_rows) < null_text_frac
+    lang_idx = rng.integers(0, len(_LANGS), size=n_rows)
+    dup_of = rng.integers(0, max(1, n_unique), size=n_rows)
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in range(n_rows):
-        u = i if i < n_unique else rng.integers(0, n_unique)
+        u = i if i < n_unique else int(dup_of[i])
         url = f"https://site{u % 97:02d}.example/page/{u:08d}"
-        nwords = int(rng.integers(words_per_doc[0], words_per_doc[1] + 1))
-        words = list(vocab[rng.choice(len(vocab), size=nwords, p=probs)])
-        if rng.random() < hot_frac:
-            words.insert(int(rng.integers(0, len(words) + 1)), hot_term)
+        words = list(vocab[all_idx[starts[i] : ends[i]]])
+        if has_hot[i]:
+            words.insert(min(int(hot_pos[i]), len(words)), hot_term)
         body = " ".join(words)
-        is_null_text = rng.random() < null_text_frac
         html = (
             "<html><head><title>page</title>"
             "<script>var x = 1;</script><style>p{color:red}</style></head>"
@@ -73,8 +96,8 @@ def synth_pages(
         urls.append(url)
         tss.append(_EPOCH_2024_12_01_US + i * 1_000_000)
         htmls.append(html)
-        texts.append(None if is_null_text else body)
-        langs.append(_LANGS[int(rng.integers(0, len(_LANGS)))])
+        texts.append(None if is_null[i] else body)
+        langs.append(_LANGS[int(lang_idx[i])])
 
     return pa.table(
         {

@@ -60,14 +60,28 @@ class IndexSearcher:
         self._norm_vals: np.ndarray | None = None
         self._dl_vals: np.ndarray | None = None
         self._seg_datasets: dict[int, pads.Dataset] = {}
+        # bounded term -> SegmentRow|None cache (zipfian query terms)
+        self._row_cache: dict[str, SegmentRow | None] = {}
+        self._row_cache_max = 50_000
 
     # -- segment lookup -----------------------------------------------------
     def lookup(self, terms: list[str]) -> dict[str, SegmentRow]:
         """Partition-pruned, filter-pushdown read of the terms' segment rows."""
-        by_bucket: dict[int, list[str]] = {}
-        for t in terms:
-            by_bucket.setdefault(term_bucket(t, self.manifest.num_buckets), []).append(t)
         out: dict[str, SegmentRow] = {}
+        cache = self._row_cache
+        misses = []
+        for t in terms:
+            if t in cache:
+                row = cache[t]
+                if row is not None:
+                    out[t] = row
+            else:
+                misses.append(t)
+        if not misses:
+            return out
+        by_bucket: dict[int, list[str]] = {}
+        for t in misses:
+            by_bucket.setdefault(term_bucket(t, self.manifest.num_buckets), []).append(t)
         for bucket, ts in by_bucket.items():
             dataset = self._seg_datasets.get(bucket)
             if dataset is None:
@@ -90,32 +104,34 @@ class IndexSearcher:
                     max_bm25=np.asarray(tbl.column("max_bm25")[i].as_py(), dtype=np.float64),
                     offset=np.asarray(tbl.column("offset")[i].as_py(), dtype=np.int64),
                 )
+        if len(cache) < self._row_cache_max:
+            for t in misses:
+                cache[t] = out.get(t)
         return out
 
     # -- stats sidecars -----------------------------------------------------
-    # doc_ids are dense ranks (0..N-1), so sidecars load into dense numpy
-    # arrays indexed by doc_id: O(1) lookups in scoring loops.
-    def _load_dense(self, rel: str, val_col: str, default: float) -> np.ndarray:
-        path = os.path.join(self.index_dir, "stats", rel)
+    # doc_ids are dense ranks (0..N-1), so docstats loads ONCE into dense
+    # numpy arrays indexed by doc_id: O(1) lookups in scoring loops.
+    def _load_docstats(self) -> None:
+        path = os.path.join(self.index_dir, "stats", "docstats.parquet")
         tbl = pads.dataset(path, format="parquet").to_table()
         ids = tbl.column("doc_id").to_numpy()
-        vals = tbl.column(val_col).to_numpy().astype(np.float64)
         size = max(self.manifest.n_docs, int(ids.max()) + 1 if ids.size else 0)
-        dense = np.full(size, default, dtype=np.float64)
-        dense[ids] = vals
-        return dense
+        # docs absent from the index: norm 1 (InvertedIndex.py:419), dl avgdl
+        norms = np.full(size, 1.0, dtype=np.float64)
+        dls = np.full(size, self.manifest.avgdl or 1.0, dtype=np.float64)
+        norms[ids] = tbl.column("norm").to_numpy().astype(np.float64)
+        dls[ids] = tbl.column("dl").to_numpy().astype(np.float64)
+        self._norm_vals, self._dl_vals = norms, dls
 
     def _norms(self) -> np.ndarray:
         if self._norm_vals is None:
-            # docs absent from the index have norm 1 (InvertedIndex.py:419)
-            self._norm_vals = self._load_dense("norms.parquet", "norm", 1.0)
+            self._load_docstats()
         return self._norm_vals
 
     def _doclens(self) -> np.ndarray:
         if self._dl_vals is None:
-            self._dl_vals = self._load_dense(
-                "doclen.parquet", "dl", self.manifest.avgdl or 1.0
-            )
+            self._load_docstats()
         return self._dl_vals
 
     # -- scoring ------------------------------------------------------------

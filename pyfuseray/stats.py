@@ -19,37 +19,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Max
 
 from pyfuseray.codec import decode_postings
 from pyfuseray.scoring import tfidf_weight_vec
 
 
-def doclen_dataset(postings: rd.Dataset) -> rd.Dataset:
-    """(doc_id, dl) from postings rows.
-
-    dl is carried on every posting row, so a per-batch (doc_id, dl)
-    dedup first shrinks the shuffle from one row per POSTING to at most
-    one row per (doc, batch) — the map-side combine — before the final
-    groupby takes the max (all values per doc are equal)."""
-
-    def batch_unique(batch: pa.Table) -> pa.Table:
-        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        dl = batch.column("dl").to_numpy(zero_copy_only=False)
-        uniq, idx = np.unique(doc, return_index=True)
-        return pa.table(
-            {
-                "doc_id": pa.array(uniq, type=pa.int64()),
-                "dl": pa.array(dl[idx].astype(np.int64), type=pa.int64()),
-            }
-        )
-
-    return (
-        postings.select_columns(["doc_id", "dl"])
-        .map_batches(batch_unique, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Max("dl", alias_name="dl"))
-    )
+def total_tokens(postings: rd.Dataset) -> int:
+    """Collection token count = sum(tf) over postings — a native,
+    shuffle-free aggregate (avgdl = total_tokens / N)."""
+    return int(postings.sum("tf") or 0)
 
 
 def df_dataset(segments: rd.Dataset) -> rd.Dataset:
@@ -57,11 +35,24 @@ def df_dataset(segments: rd.Dataset) -> rd.Dataset:
     return segments.select_columns(["term", "df", "cf"])
 
 
-def norms_dataset(segments: rd.Dataset, n_docs: int) -> rd.Dataset:
-    """(doc_id, norm) with exact final-df TF-IDF weights."""
+DOC_BUCKET = 4096
 
-    def w2_rows(batch: pa.Table) -> pa.Table:
+
+def docstats_dataset(segments: rd.Dataset, n_docs: int) -> rd.Dataset:
+    """(doc_id, dl, norm): doc length AND exact final-df cosine norm in
+    ONE decode pass + ONE doc_id-keyed shuffle over the (compressed)
+    segments — dl = sum(tf), norm = sqrt(sum w^2) with zero -> 1.
+
+    The shuffle key is ``doc_id // DOC_BUCKET`` (a doc-RANGE bucket), not
+    doc_id itself: each group then holds ~DOC_BUCKET complete documents
+    and the per-doc reductions run as vectorized numpy segment ops
+    (lexsort + reduceat) instead of one Python call per document. w^2
+    contributions are sorted within each doc before summation so the
+    float64 norm is deterministic under any shuffle order."""
+
+    def tf_w2_rows(batch: pa.Table) -> pa.Table:
         out_doc: list[np.ndarray] = []
+        out_tf: list[np.ndarray] = []
         out_w2: list[np.ndarray] = []
         dfs = batch.column("df").to_numpy(zero_copy_only=False)
         blobs = batch.column("blob").to_pylist()
@@ -70,23 +61,40 @@ def norms_dataset(segments: rd.Dataset, n_docs: int) -> rd.Dataset:
             doc_ids, tfs = decode_postings(blob, np.asarray(offs, dtype=np.int64))
             w = tfidf_weight_vec(tfs, float(df), float(n_docs))
             out_doc.append(doc_ids)
+            out_tf.append(tfs)
             out_w2.append(w * w)
         if not out_doc:
-            return pa.table({"doc_id": pa.array([], pa.int64()), "w2": pa.array([], pa.float64())})
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "doc_bucket": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "w2": pa.array([], pa.float64()),
+                }
+            )
+        doc = np.concatenate(out_doc)
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "doc_bucket": pa.array(doc // DOC_BUCKET, type=pa.int64()),
+                "tf": pa.array(np.concatenate(out_tf), type=pa.int64()),
                 "w2": pa.array(np.concatenate(out_w2), type=pa.float64()),
             }
         )
 
-    def norm_group(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        w2 = np.sort(group["w2"])  # deterministic float64 summation order
-        norm = float(np.sqrt(w2.sum()))
-        return {
-            "doc_id": np.asarray([group["doc_id"][0]], dtype=np.int64),
-            "norm": np.asarray([norm if norm != 0.0 else 1.0], dtype=np.float64),
-        }
+    def bucket_stats(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        doc = group["doc_id"].astype(np.int64)
+        tf = group["tf"].astype(np.int64)
+        w2 = group["w2"].astype(np.float64)
+        # sort by (doc, w2): docs become contiguous AND each doc's w2
+        # values are ascending -> deterministic float64 summation order
+        order = np.lexsort((w2, doc))
+        doc, tf, w2 = doc[order], tf[order], w2[order]
+        uniq, starts = np.unique(doc, return_index=True)
+        dl = np.add.reduceat(tf, starts)
+        norm = np.sqrt(np.add.reduceat(w2, starts))
+        norm[norm == 0.0] = 1.0
+        return {"doc_id": uniq, "dl": dl, "norm": norm}
 
-    w2 = segments.map_batches(w2_rows, batch_format="pyarrow")
-    return w2.groupby("doc_id").map_groups(norm_group, batch_format="numpy")
+    rows = segments.map_batches(tf_w2_rows, batch_format="pyarrow")
+    return rows.groupby("doc_bucket").map_groups(bucket_stats, batch_format="numpy")

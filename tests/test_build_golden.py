@@ -68,7 +68,7 @@ def test_norms_match_oracle(pangram_index, pangram_oracle):
     import os
 
     tbl = pads.dataset(
-        os.path.join(pangram_index.index_dir, "stats", "norms.parquet")
+        os.path.join(pangram_index.index_dir, "stats", "docstats.parquet")
     ).to_table()
     got = dict(zip(tbl["doc_id"].to_pylist(), tbl["norm"].to_pylist()))
     for doc_id, expected in pangram_oracle.doc_norms.items():

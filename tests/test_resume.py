@@ -50,7 +50,7 @@ def test_resume_after_partial_segments(tmp_path):
     m = json.load(open(manifest_path(crash_dir)))
     for k in ("2", "3"):
         del m["buckets"][k]
-    for stage in ("df", "norms", "done"):
+    for stage in ("df", "docstats", "done"):
         m["stages"].pop(stage, None)
     json.dump(m, open(manifest_path(crash_dir), "w"))
     shutil.rmtree(os.path.join(crash_dir, "segments", "bucket=2"))
@@ -58,7 +58,7 @@ def test_resume_after_partial_segments(tmp_path):
     part3 = os.path.join(crash_dir, "segments", "bucket=3")
     for f in sorted(glob.glob(os.path.join(part3, "*.parquet")))[1:]:
         os.unlink(f)
-    for stats in ("df.parquet", "norms.parquet"):
+    for stats in ("df.parquet", "docstats.parquet"):
         shutil.rmtree(os.path.join(crash_dir, "stats", stats), ignore_errors=True)
 
     m2 = build_index(_corpus(), crash_dir, num_buckets=4, num_salts=2)
