@@ -47,6 +47,8 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    if os.environ.get("PYFUSERAY_POLARS_SORT"):
+        ctx.use_polars_sort = True
 
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -63,6 +65,9 @@ def run_bench() -> dict:
             synth_pages(n_pages, seed=42, null_text_frac=0.15, dup_frac=0.02,
                         vocab_size=vocab, words_per_doc=(wlo, whi)),
             pages_path,
+            # small row groups: parquet reads parallelize per row group —
+            # a single giant row group serializes every pass over pages
+            row_group_size=4096,
         )
     # warm the OS page cache so we measure compute+shuffle, not first read
     with open(pages_path, "rb") as fh:

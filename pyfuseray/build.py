@@ -154,15 +154,19 @@ def build_index(
     if not m.stage_done("postings"):
         t0 = time.perf_counter()
         if tokenizer_concurrency is None:
-            # actor pool sized to the cluster, leaving headroom for the
-            # read and write stages so the pipeline doesn't serialize
+            # FIXED-size actor pool (autoscaling from 1 ramps too slowly
+            # for a stage this short), leaving headroom for the read and
+            # write stages so the pipeline doesn't serialize
             import ray
 
             cpus = int(ray.cluster_resources().get("CPU", 4))
-            tokenizer_concurrency = (1, max(2, cpus - 2))
+            tokenizer_concurrency = max(2, cpus - 2)
         postings = corpus.map_batches(
             TokenizerStage,
-            fn_constructor_kwargs={"num_buckets": num_buckets},
+            fn_constructor_kwargs={
+                "num_buckets": num_buckets,
+                "block_size": block_size,
+            },
             batch_format="pyarrow",
             batch_size=tokenizer_batch_size,
             concurrency=tokenizer_concurrency,

@@ -79,6 +79,103 @@ def dedup_keep_first(ds: rd.Dataset, key: str = "url", order_col: str = "warc_ts
     return uniques.union(resolved)
 
 
+def dedup_pages_keep_first(
+    pages: rd.Dataset, with_count: bool = False
+) -> rd.Dataset | tuple[rd.Dataset, int]:
+    """Exact keep-first dedup of raw pages by url, with all heavy columns
+    untouched until the single final pass.
+
+    Passes over the data:
+    1. url column ONLY (parquet column pruning): native groupby-count
+       finds the duplicated urls — tiny in a crawl;
+    2. (url, warc_ts, text) of just the dup rows: winner key
+       min(warc_ts, md5(text)) per url, built into a broadcast dict;
+    3. ONE full pass filters losers out.
+
+    Urls whose duplicate rows tie on the full winner key (identical
+    warc_ts AND text — i.e. true byte-duplicates) are resolved by the
+    per-group path so exactly one row survives.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    counts = pages.select_columns(["url"]).groupby("url").aggregate(
+        Count(alias_name="_n")
+    )
+    dups_only = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("_n"), 1)).select(["url", "_n"]),
+        batch_format="pyarrow",
+    )
+    dup_counts = {r["url"]: r["_n"] for r in dups_only.iter_rows()}
+    dup_keys = set(dup_counts)
+    # rows surviving dedup, known WITHOUT executing the main pass: every
+    # duplicated url keeps exactly one copy
+    n_after = None
+    if with_count:
+        n_after = pages.count() - sum(n - 1 for n in dup_counts.values())
+    if not dup_keys:
+        return (pages, n_after) if with_count else pages
+    dup_ref = ray.put(dup_keys)
+
+    def dup_meta(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        mask = [u in dups for u in batch.column("url").to_pylist()]
+        sub = batch.filter(pa.array(mask))
+        return pa.table({"url": sub.column("url"), "warc_ts": sub.column("warc_ts")})
+
+    # winner = min warc_ts per dup url; the meta pass reads only
+    # (url, warc_ts) — never the heavy text/html columns
+    meta = (
+        pages.select_columns(["url", "warc_ts"])
+        .map_batches(dup_meta, batch_format="pyarrow")
+        .to_pandas()
+    )
+    winners: dict[str, object] = {}
+    multiplicity: dict[str, int] = {}
+    for url, ts in zip(meta["url"], meta["warc_ts"]):
+        cur = winners.get(url)
+        if cur is None or ts < cur:
+            winners[url] = ts
+            multiplicity[url] = 1
+        elif ts == cur:
+            multiplicity[url] += 1
+    # urls tied on warc_ts fall back to the per-group path, which breaks
+    # the tie deterministically on md5(text)
+    ambiguous = {u for u, n in multiplicity.items() if n > 1}
+    win_ref = ray.put(winners)
+    amb_ref = ray.put(ambiguous)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        win = ray.get(win_ref)
+        amb = ray.get(amb_ref)
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        mask = []
+        for u, ts in zip(urls, tss):
+            k = win.get(u)
+            if k is None:
+                mask.append(u not in amb)
+            else:
+                mask.append(u not in amb and ts == k)
+        return batch.filter(pa.array(mask))
+
+    deduped = pages.map_batches(keep_winners, batch_format="pyarrow")
+    if not ambiguous:
+        return (deduped, n_after) if with_count else deduped
+
+    def only_ambiguous(batch: pa.Table) -> pa.Table:
+        amb = ray.get(amb_ref)
+        mask = [u in amb for u in batch.column("url").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    resolved = _dedup_via_groups(
+        pages.map_batches(only_ambiguous, batch_format="pyarrow"), "url", "warc_ts"
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    out = deduped.union(resolved)
+    return (out, n_after) if with_count else out
+
+
 def _dedup_via_groups(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
     """Per-group keep-min path (also the no-broadcast fallback)."""
 

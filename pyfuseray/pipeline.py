@@ -58,21 +58,18 @@ def build_from_pages(
 
     if build_kwargs.get("overwrite") and os.path.exists(corpus_dir):
         shutil.rmtree(corpus_dir)
-    stage0 = os.path.join(corpus_dir, "stage0")
     final = os.path.join(corpus_dir, "corpus")
     if not os.path.isdir(final) or not any(os.scandir(final)):
-        # stage 0: extract (drop html) + exact dedup, persisted once
-        extracted = pages.map_batches(extract_batch, batch_format="pyarrow")
-        dedup_keep_first(extracted, key="url", order_col="warc_ts").write_parquet(stage0)
-        n_rows = sum(
-            pq.ParquetFile(os.path.join(stage0, f)).metadata.num_rows
-            for f in os.listdir(stage0)
-            if f.endswith(".parquet")
-        )
-        # stage 1: doc_id = url rank over the persisted stage-0 corpus
-        with_ids = assign_doc_ids(rd.read_parquet(stage0), n_rows=n_rows)
+        # Dedup decides winners with narrow column-pruned passes and also
+        # yields the surviving row count, so the heavy columns make only
+        # ONE full pass: filter -> extract (drops html) -> sort ->
+        # zip-with-index -> corpus write.
+        from pyfuseray.docids import dedup_pages_keep_first
+
+        deduped, n_rows = dedup_pages_keep_first(pages, with_count=True)
+        extracted = deduped.map_batches(extract_batch, batch_format="pyarrow")
+        with_ids = assign_doc_ids(extracted, n_rows=n_rows)
         with_ids.select_columns(["doc_id", "url", "text"]).write_parquet(final)
-        shutil.rmtree(stage0)
     corpus = rd.read_parquet(final, columns=["doc_id", "text"])
     return build_index(corpus, out_dir, **build_kwargs)
 

@@ -1,19 +1,28 @@
-"""Corpus -> (term, doc_id, tf, dl, bucket) postings via an actor pool.
+"""Corpus -> encoded SPIMI run rows via an actor pool.
 
-This is the map side of SPIMI: the reference's per-document analyzer +
-term-frequency loop (reference ``app/InvertedIndexFinal.py:152-170``)
-becomes a stateful ``map_batches`` stage. The analyzer (stoplist set +
-stemmer + compiled regexes + a per-actor stem memo) is built ONCE per
-actor in ``__init__`` and reused per batch (reference state T1,
-``app/TextPreProcess.py:11-27``).
+This is the map side of SPIMI (reference ``app/InvertedIndexFinal.py:
+152-170, 201-236``): each input batch of documents becomes one sorted
+in-memory "block" that is immediately delta+varbyte-encoded into one
+run row per term:
 
-Each output row carries:
-- ``bucket``: crc32(term) % num_buckets — the stable shuffle/partition
-  key used for postings_raw layout and per-bucket segment builds
-  (python ``hash()`` is process-salted and must never be used);
-- ``dl``: the document length (sum of tfs after stop/stem), carried on
-  every posting so segment builds can compute exact per-block BM25
-  maxima without a doc-side join.
+    (term, bucket, first_doc, last_doc_max, df, cf,
+     blob, last_doc: list, max_tf: list, min_dl: list, offset: list)
+
+Runs are doc_id-sorted internally and (for a doc_id-ordered corpus)
+disjoint in doc range across batches, so the reduce side merges them by
+pure blob concatenation — the shuffle moves compressed runs (~bytes per
+posting) instead of one row per posting.
+
+The analyzer (stoplist + stemmer + memo tables) is built ONCE per actor
+in ``__init__`` (reference state T1); the per-batch encode path is
+vectorized numpy over the whole batch (one lexsort + one varbyte_encode
+call), not a per-term Python encode loop.
+
+``bucket = crc32(term) % num_buckets`` is the stable shuffle/partition
+key (python ``hash()`` is process-salted and must never be used).
+``min_dl`` per block makes BM25 block upper bounds computable at merge
+time (g(tf, dl) is increasing in tf and decreasing in dl) without
+carrying doc lengths per posting.
 """
 
 from __future__ import annotations
@@ -24,8 +33,25 @@ import numpy as np
 import pyarrow as pa
 
 from pyfuseray.analyzer import Analyzer
+from pyfuseray.codec import BLOCK_SIZE, varbyte_encode
 
 DEFAULT_NUM_BUCKETS = 8
+
+RUN_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("last_doc_max", pa.int64()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("blob", pa.binary()),
+        ("last_doc", pa.list_(pa.int64())),
+        ("max_tf", pa.list_(pa.int64())),
+        ("min_dl", pa.list_(pa.int64())),
+        ("offset", pa.list_(pa.int64())),
+    ]
+)
 
 
 def term_bucket(term: str, num_buckets: int) -> int:
@@ -33,12 +59,112 @@ def term_bucket(term: str, num_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
-class TokenizerStage:
-    """Actor-pool map_batches callable: (doc_id, text) -> postings rows."""
+def encode_runs(
+    terms: list[str],
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    num_buckets: int,
+    bucket_memo: dict[str, int],
+    block_size: int = BLOCK_SIZE,
+) -> pa.Table:
+    """Vectorized: flat (term, doc, tf, dl) postings -> one run row per term.
 
-    def __init__(self, num_buckets: int = DEFAULT_NUM_BUCKETS):
+    One lexsort + one varbyte_encode over the whole batch; per-term work
+    is only cheap slicing of precomputed arrays.
+    """
+    n = len(terms)
+    if n == 0:
+        return pa.table({}, schema=RUN_SCHEMA)
+    # term -> dense int code via dict (np.unique on object strings does
+    # per-element Python comparisons and dominates the batch otherwise)
+    code_of: dict[str, int] = {}
+    inv = np.empty(n, dtype=np.int64)
+    setdefault = code_of.setdefault
+    for i, t in enumerate(terms):
+        inv[i] = setdefault(t, len(code_of))
+    codes = list(code_of)
+    order = np.lexsort((docs, inv))
+    inv_s, docs_s, tfs_s, dls_s = inv[order], docs[order], tfs[order], dls[order]
+    # run (term) boundaries in the sorted arrays
+    run_starts = np.flatnonzero(np.concatenate(([True], inv_s[1:] != inv_s[:-1])))
+    run_ends = np.concatenate((run_starts[1:], [n]))
+    # block starts: every block_size-th position WITHIN its run
+    run_idx = np.repeat(np.arange(run_starts.size), run_ends - run_starts)
+    within = np.arange(n, dtype=np.int64) - run_starts[run_idx]
+    is_block_start = (within % block_size) == 0
+    block_starts = np.flatnonzero(is_block_start)
+    # deltas with absolute restart at block starts
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = (docs_s[1:] - docs_s[:-1]).astype(np.uint64)
+    deltas[block_starts] = docs_s[block_starts].astype(np.uint64)
+    values = np.empty(2 * n, dtype=np.uint64)
+    values[0::2] = deltas
+    values[1::2] = tfs_s.astype(np.uint64)
+    blob_all, nbytes = varbyte_encode(values)
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
+    value_byte_start = cum[0::2][:n]  # byte offset of each posting's delta
+    # per-block metadata (global, split per run below)
+    block_ends = np.concatenate((block_starts[1:], [n]))
+    # a block never crosses a run boundary (within resets per run)
+    blk_last = docs_s[block_ends - 1]
+    blk_maxtf = np.maximum.reduceat(tfs_s, block_starts)
+    blk_mindl = np.minimum.reduceat(dls_s, block_starts)
+    blk_offsets = value_byte_start[block_starts]
+    blk_run = run_idx[block_starts]
+    blk_bounds = np.searchsorted(blk_run, np.arange(run_starts.size + 1))
+    # per-run aggregates
+    run_first = docs_s[run_starts]
+    run_last = docs_s[run_ends - 1]
+    run_df = run_ends - run_starts
+    run_cf = np.add.reduceat(tfs_s, run_starts)
+    run_byte_start = value_byte_start[run_starts]
+    run_byte_end = np.concatenate((run_byte_start[1:], [len(blob_all)]))
+
+    mv = memoryview(blob_all)
+    out_terms, out_bucket = [], np.empty(run_starts.size, dtype=np.int32)
+    blobs, l_last, l_maxtf, l_mindl, l_off = [], [], [], [], []
+    for r in range(run_starts.size):
+        t = codes[inv_s[run_starts[r]]]
+        out_terms.append(t)
+        b = bucket_memo.get(t)
+        if b is None:
+            b = zlib.crc32(t.encode("utf-8")) % num_buckets
+            bucket_memo[t] = b
+        out_bucket[r] = b
+        lo, hi = blk_bounds[r], blk_bounds[r + 1]
+        base = run_byte_start[r]
+        blobs.append(bytes(mv[base : run_byte_end[r]]))
+        l_last.append(blk_last[lo:hi].tolist())
+        l_maxtf.append(blk_maxtf[lo:hi].tolist())
+        l_mindl.append(blk_mindl[lo:hi].tolist())
+        l_off.append((blk_offsets[lo:hi] - base).tolist())
+    return pa.table(
+        {
+            "term": pa.array(out_terms, pa.string()),
+            "bucket": pa.array(out_bucket, pa.int32()),
+            "first_doc": pa.array(run_first, pa.int64()),
+            "last_doc_max": pa.array(run_last, pa.int64()),
+            "df": pa.array(run_df.astype(np.int64), pa.int64()),
+            "cf": pa.array(run_cf.astype(np.int64), pa.int64()),
+            "blob": pa.array(blobs, pa.binary()),
+            "last_doc": pa.array(l_last, pa.list_(pa.int64())),
+            "max_tf": pa.array(l_maxtf, pa.list_(pa.int64())),
+            "min_dl": pa.array(l_mindl, pa.list_(pa.int64())),
+            "offset": pa.array(l_off, pa.list_(pa.int64())),
+        },
+        schema=RUN_SCHEMA,
+    )
+
+
+class TokenizerStage:
+    """Actor-pool map_batches callable: (doc_id, text) -> run rows."""
+
+    def __init__(self, num_buckets: int = DEFAULT_NUM_BUCKETS,
+                 block_size: int | None = None):
         self.analyzer = Analyzer()
         self.num_buckets = num_buckets
+        self.block_size = block_size or BLOCK_SIZE
         self._bucket_memo: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -61,21 +187,12 @@ class TokenizerStage:
                 out_tf.append(tf)
             out_doc.extend([doc_id] * len(tfs))
             out_dl.extend([dl] * len(tfs))
-        memo = self._bucket_memo
-        nb = self.num_buckets
-        buckets = np.empty(len(terms), dtype=np.int32)
-        for i, t in enumerate(terms):
-            b = memo.get(t)
-            if b is None:
-                b = zlib.crc32(t.encode("utf-8")) % nb
-                memo[t] = b
-            buckets[i] = b
-        return pa.table(
-            {
-                "term": pa.array(terms, type=pa.string()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "tf": pa.array(out_tf, type=pa.int32()),
-                "dl": pa.array(out_dl, type=pa.int32()),
-                "bucket": pa.array(buckets, type=pa.int32()),
-            }
+        return encode_runs(
+            terms,
+            np.asarray(out_doc, dtype=np.int64),
+            np.asarray(out_tf, dtype=np.int64),
+            np.asarray(out_dl, dtype=np.int64),
+            self.num_buckets,
+            self._bucket_memo,
+            self.block_size,
         )

@@ -1,26 +1,29 @@
-"""Segment build: postings -> delta+varbyte posting-list segments.
+"""Segment build: SPIMI run rows -> merged posting-list segments.
 
-Re-expresses the reference's SPIMI spill + k-way merge (reference
-``app/InvertedIndexFinal.py:201-236, 287-346``) as a Ray Data shuffle:
-``groupby((term, salt)).map_groups(encode)`` assembles each posting
-list; ``groupby(term).map_groups(stitch)`` post-merges salted splits.
+Re-expresses the reference's k-way block merge (reference
+``app/InvertedIndexFinal.py:287-346``) as a Ray Data shuffle over
+ENCODED runs: the tokenizer already emitted doc_id-sorted delta+varbyte
+runs per (term, batch), so the merge is pure blob concatenation —
+every codec block restarts from an absolute doc_id, and runs from a
+doc_id-ordered corpus cover disjoint doc ranges. A decode-merge-reencode
+fallback handles overlapping ranges (unordered corpora), summing tf for
+duplicate (term, doc) pairs (reference merge semantics,
+``app/InvertedIndexFinal.py:240-244``).
 
-Skew handling (SURVEY.md §4.2, north-star requirement): every posting
-gets ``salt = doc_id * S // N`` — a doc_id-RANGE split so a hot term's
-group is bounded by ~N/S postings, and splits arrive in ascending
-doc_id ranges. Because every codec block restarts from an absolute
-doc_id, stitching is pure blob concatenation (no decode).
+Skew handling (north-star requirement): ``salt = first_doc * S // N``
+splits a hot term's runs into S doc-range groups; the per-term stitch
+of split lists is again concatenation.
 
-BM25 block maxima: the per-posting BM25 score factors as
-``idf(df) * g(tf, dl)`` with ``g`` independent of df, so encode stores
-per-block ``max_g`` computed from (tf, dl, avgdl) and stitch multiplies
-by ``idf`` once global df is known — exact block-max metadata without a
-second pass over the postings.
+BM25 block metadata: runs carry per-block (max_tf, min_dl); since
+g(tf, dl) is increasing in tf and decreasing in dl, the finalize step
+attaches ``max_bm25 = idf(df) * g(max_tf, min_dl)`` — a tight, valid
+per-block upper bound for block-max WAND — once global df is known.
+Heavily fragmented lists (many tiny per-batch blocks) are re-blocked by
+a vectorized decode + re-encode in finalize.
 
-Segment schema (one row per term, term-sorted within a partition file):
-    term: string, df: int64, cf: int64, blob: binary,
-    last_doc / max_tf: list<int64>, max_bm25: list<float64>,
-    offset: list<int64>
+Final segment schema (one row per term, term-sorted within files):
+    term, bucket, df, cf, blob, last_doc/max_tf: list<int64>,
+    max_bm25: list<float64>, offset: list<int64>
 """
 
 from __future__ import annotations
@@ -30,7 +33,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from pyfuseray.codec import EncodedPostings, concat_encoded, encode_postings
+from pyfuseray.codec import BLOCK_SIZE, decode_postings, encode_postings
+from pyfuseray.postings import RUN_SCHEMA
 from pyfuseray.scoring import BM25_B, BM25_K1, bm25_idf
 
 SEGMENT_SCHEMA = pa.schema(
@@ -47,110 +51,131 @@ SEGMENT_SCHEMA = pa.schema(
     ]
 )
 
-_ENC_SCHEMA = pa.schema(
-    [
-        ("term", pa.string()),
-        ("bucket", pa.int32()),
-        ("salt", pa.int64()),
-        ("df", pa.int64()),
-        ("cf", pa.int64()),
-        ("blob", pa.binary()),
-        ("last_doc", pa.list_(pa.int64())),
-        ("max_tf", pa.list_(pa.int64())),
-        ("max_g", pa.list_(pa.float64())),
-        ("offset", pa.list_(pa.int64())),
-    ]
-)
+_MERGED_SCHEMA = RUN_SCHEMA  # merge preserves the run schema
 
 
-def _bm25_g(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+def _bm25_g(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+            k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
     """df-independent BM25 factor: score = idf(df) * g(tf, dl)."""
     tf = tf.astype(np.float64)
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
-def make_encode_group(avgdl: float, block_size: int | None = None):
-    """Per-(term, salt) group encoder (numpy batch format)."""
-    from pyfuseray.codec import BLOCK_SIZE
-
-    block_size = block_size or BLOCK_SIZE
-
-    def encode_group(group: dict[str, np.ndarray]) -> pa.Table:
-        term = str(group["term"][0])
-        bucket = int(group["bucket"][0])
-        salt = int(group["salt"][0])
-        doc_ids = group["doc_id"].astype(np.int64)
-        tfs = group["tf"].astype(np.int64)
-        dls = group["dl"].astype(np.int64)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        # merge duplicate (term, doc) pairs by summing tf — cannot occur in
-        # this pipeline (tf computed once per doc) but kept for the
-        # reference's merge semantics (InvertedIndexFinal.py:240-244)
-        if doc_ids.size > 1 and (doc_ids[1:] == doc_ids[:-1]).any():
-            uniq, idx = np.unique(doc_ids, return_index=True)
-            tfs = np.add.reduceat(tfs, idx)
-            dls = dls[idx]
-            doc_ids = uniq
-        g = _bm25_g(tfs, dls, avgdl)
-        enc = encode_postings(doc_ids, tfs, bm25_scores=g, block_size=block_size)
-        return pa.table(
-            {
-                "term": [term],
-                "bucket": [bucket],
-                "salt": [salt],
-                "df": [int(doc_ids.size)],
-                "cf": [int(tfs.sum())],
-                "blob": [enc.blob],
-                "last_doc": [enc.last_doc.tolist()],
-                "max_tf": [enc.max_tf.tolist()],
-                "max_g": [enc.max_bm25.tolist()],
-                "offset": [enc.offset.tolist()],
-            },
-            schema=_ENC_SCHEMA,
-        )
-
-    return encode_group
-
-
-def make_finalize(n_docs: int):
-    """Stitch split posting lists of one term and attach exact BM25 maxima."""
-
-    def finalize_rows(rows: pd.DataFrame) -> pa.Table:
-        rows = rows.sort_values("salt")
-        parts = [
-            EncodedPostings(
-                blob=bytes(r.blob),
-                last_doc=np.asarray(r.last_doc, dtype=np.int64),
-                max_tf=np.asarray(r.max_tf, dtype=np.int64),
-                max_bm25=np.asarray(r.max_g, dtype=np.float64),
-                offset=np.asarray(r.offset, dtype=np.int64),
-            )
-            for r in rows.itertuples()
-        ]
-        stitched = concat_encoded(parts)
+def merge_runs(group: pd.DataFrame) -> pa.Table:
+    """Merge one (term[, salt]) group of runs into a single run row."""
+    rows = group.sort_values("first_doc")
+    firsts = rows["first_doc"].to_numpy()
+    lasts = rows["last_doc_max"].to_numpy()
+    disjoint = bool(np.all(firsts[1:] > lasts[:-1])) if len(rows) > 1 else True
+    if disjoint:
+        blobs, l_last, l_maxtf, l_mindl, l_off = [], [], [], [], []
+        shift = 0
+        for r in rows.itertuples():
+            blobs.append(bytes(r.blob))
+            l_last.extend(r.last_doc)
+            l_maxtf.extend(r.max_tf)
+            l_mindl.extend(r.min_dl)
+            l_off.extend([o + shift for o in r.offset])
+            shift += len(r.blob)
+        blob = b"".join(blobs)
         df = int(rows["df"].sum())
-        idf = bm25_idf(df, n_docs)
-        return pa.table(
-            {
-                "term": [rows["term"].iloc[0]],
-                "bucket": [int(rows["bucket"].iloc[0])],
-                "df": [df],
-                "cf": [int(rows["cf"].sum())],
-                "blob": [stitched.blob],
-                "last_doc": [stitched.last_doc.tolist()],
-                "max_tf": [stitched.max_tf.tolist()],
-                "max_bm25": [(stitched.max_bm25 * idf).tolist()],
-                "offset": [stitched.offset.tolist()],
-            },
-            schema=SEGMENT_SCHEMA,
-        )
+        cf = int(rows["cf"].sum())
+    else:
+        # fallback: overlapping doc ranges (unordered corpus) — decode,
+        # merge summing tf per doc, re-encode
+        all_docs, all_tfs, all_mindl = [], [], []
+        for r in rows.itertuples():
+            d, t = decode_postings(bytes(r.blob), np.asarray(r.offset, dtype=np.int64))
+            all_docs.append(d)
+            all_tfs.append(t)
+            all_mindl.append(min(r.min_dl) if len(r.min_dl) else 1)
+        docs = np.concatenate(all_docs)
+        tfs = np.concatenate(all_tfs)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs = docs[order], tfs[order]
+        uniq, starts = np.unique(docs, return_index=True)
+        tfs = np.add.reduceat(tfs, starts)
+        enc = encode_postings(uniq, tfs)
+        blob = enc.blob
+        l_last = enc.last_doc.tolist()
+        l_maxtf = enc.max_tf.tolist()
+        l_mindl = [int(min(all_mindl))] * len(l_last)
+        l_off = enc.offset.tolist()
+        df, cf = int(uniq.size), int(tfs.sum())
+    return pa.table(
+        {
+            "term": [rows["term"].iloc[0]],
+            "bucket": [int(rows["bucket"].iloc[0])],
+            "first_doc": [int(firsts[0])],
+            "last_doc_max": [int(l_last[-1]) if l_last else int(lasts[-1])],
+            "df": [df],
+            "cf": [cf],
+            "blob": [blob],
+            "last_doc": [list(map(int, l_last))],
+            "max_tf": [list(map(int, l_maxtf))],
+            "min_dl": [list(map(int, l_mindl))],
+            "offset": [list(map(int, l_off))],
+        },
+        schema=_MERGED_SCHEMA,
+    )
 
-    return finalize_rows
+
+def make_finalize(n_docs: int, avgdl: float, block_size: int | None = None):
+    """Merged run row -> final segment row with BM25 block upper bounds.
+
+    Re-blocks lists whose per-batch blocks got too fragmented (vectorized
+    decode + re-encode; the new blocks use the term-global min_dl for
+    their — still valid — BM25 bound).
+    """
+    bs = block_size or BLOCK_SIZE
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("term", "bucket", "df", "cf", "blob",
+                               "last_doc", "max_tf", "max_bm25", "offset")}
+        for i in range(batch.num_rows):
+            term = batch.column("term")[i].as_py()
+            bucket = batch.column("bucket")[i].as_py()
+            df = batch.column("df")[i].as_py()
+            cf = batch.column("cf")[i].as_py()
+            blob = batch.column("blob")[i].as_py()
+            last_doc = batch.column("last_doc")[i].as_py()
+            max_tf = batch.column("max_tf")[i].as_py()
+            min_dl = batch.column("min_dl")[i].as_py()
+            offset = batch.column("offset")[i].as_py()
+            idf = bm25_idf(df, n_docs)
+            if len(last_doc) > 2 * max(1, -(-df // bs)):
+                d, t = decode_postings(blob, np.asarray(offset, dtype=np.int64))
+                enc = encode_postings(d, t, block_size=bs)
+                term_min_dl = float(min(min_dl)) if min_dl else 1.0
+                g = _bm25_g(enc.max_tf, np.full(enc.max_tf.size, term_min_dl), avgdl)
+                blob = enc.blob
+                last_doc = enc.last_doc.tolist()
+                max_tf = enc.max_tf.tolist()
+                offset = enc.offset.tolist()
+                max_bm25 = (idf * g).tolist()
+            else:
+                g = _bm25_g(
+                    np.asarray(max_tf, dtype=np.int64),
+                    np.asarray(min_dl, dtype=np.int64),
+                    avgdl,
+                )
+                max_bm25 = (idf * g).tolist()
+            out["term"].append(term)
+            out["bucket"].append(bucket)
+            out["df"].append(df)
+            out["cf"].append(cf)
+            out["blob"].append(blob)
+            out["last_doc"].append(last_doc)
+            out["max_tf"].append(max_tf)
+            out["max_bm25"].append(max_bm25)
+            out["offset"].append(offset)
+        return pa.table(out, schema=SEGMENT_SCHEMA)
+
+    return finalize
 
 
 def build_bucket_segment(
-    postings: rd.Dataset,
+    runs: rd.Dataset,
     *,
     n_docs: int,
     avgdl: float,
@@ -158,19 +183,19 @@ def build_bucket_segment(
     block_size: int | None = None,
     bucket: int | None = None,
 ) -> rd.Dataset:
-    """Build the segment rows for a postings dataset (one bucket or all).
+    """Merge run rows into final segment rows (one bucket or all).
 
-    ``num_salts`` = S; salt = doc_id * S // n_docs bounds every shuffle
-    group at ~n_docs/S docs regardless of term hotness. ``bucket`` sets
-    a constant bucket id when the input is a single bucket's leaf dir
-    (hive reads of the root already carry the column).
+    ``num_salts`` = S; salt = first_doc * S // n_docs splits hot terms'
+    runs into bounded doc-range groups. ``bucket`` sets a constant
+    bucket id when reading a single bucket's leaf dir (hive reads of
+    the root already carry the column).
     """
     s = max(1, int(num_salts))
     n = max(1, int(n_docs))
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        salt = (doc.astype(np.int64) * s) // n
+        first = batch.column("first_doc").to_numpy(zero_copy_only=False)
+        salt = (first.astype(np.int64) * s) // n
         if "bucket" in batch.column_names:
             idx = batch.column_names.index("bucket")
             batch = batch.set_column(
@@ -182,33 +207,14 @@ def build_bucket_segment(
             )
         return batch.append_column("salt", pa.array(salt, type=pa.int64()))
 
-    salted = postings.map_batches(add_salt, batch_format="pyarrow")
-    enc = salted.groupby(["term", "salt"]).map_groups(
-        make_encode_group(avgdl, block_size), batch_format="numpy"
-    )
+    salted = runs.map_batches(add_salt, batch_format="pyarrow")
     if s == 1:
-        # one split per term: finalize is a per-row map, no second shuffle
-        def finalize_batch(batch: pa.Table) -> pa.Table:
-            dfs = batch.column("df").to_numpy(zero_copy_only=False)
-            max_g = batch.column("max_g").to_pylist()
-            max_bm25 = [
-                (np.asarray(g, dtype=np.float64) * bm25_idf(d, n_docs)).tolist()
-                for g, d in zip(max_g, dfs)
-            ]
-            return pa.table(
-                {
-                    "term": batch.column("term"),
-                    "bucket": batch.column("bucket"),
-                    "df": batch.column("df"),
-                    "cf": batch.column("cf"),
-                    "blob": batch.column("blob"),
-                    "last_doc": batch.column("last_doc"),
-                    "max_tf": batch.column("max_tf"),
-                    "max_bm25": pa.array(max_bm25, type=pa.list_(pa.float64())),
-                    "offset": batch.column("offset"),
-                },
-                schema=SEGMENT_SCHEMA,
-            )
-
-        return enc.map_batches(finalize_batch, batch_format="pyarrow")
-    return enc.groupby("term").map_groups(make_finalize(n_docs), batch_format="pandas")
+        merged = salted.groupby("term").map_groups(merge_runs, batch_format="pandas")
+    else:
+        part = salted.groupby(["term", "salt"]).map_groups(
+            merge_runs, batch_format="pandas"
+        )
+        merged = part.groupby("term").map_groups(merge_runs, batch_format="pandas")
+    return merged.map_batches(
+        make_finalize(n_docs, avgdl, block_size), batch_format="pyarrow"
+    )

@@ -24,10 +24,10 @@ from pyfuseray.codec import decode_postings
 from pyfuseray.scoring import tfidf_weight_vec
 
 
-def total_tokens(postings: rd.Dataset) -> int:
-    """Collection token count = sum(tf) over postings — a native,
+def total_tokens(runs: rd.Dataset) -> int:
+    """Collection token count = sum(cf) over run rows — a native,
     shuffle-free aggregate (avgdl = total_tokens / N)."""
-    return int(postings.sum("tf") or 0)
+    return int(runs.sum("cf") or 0)
 
 
 def df_dataset(segments: rd.Dataset) -> rd.Dataset:
