@@ -1,0 +1,112 @@
+"""Command-line entry points (the CLI owns its Ray session).
+
+    python -m pyfuseray.cli build  --input pages.parquet --out /tmp/ix --pages
+    python -m pyfuseray.cli build  --input documents.parquet --out /tmp/ix
+    python -m pyfuseray.cli search --index /tmp/ix --query "quick fox" --scoring bm25
+    python -m pyfuseray.cli sql    --index /tmp/ix --corpus corpus.parquet \
+                                   "SELECT url FROM pages LIKE quick fox LIMIT 5"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    _ray_session()
+    import ray.data as rd
+
+    from pyfuseray.build import build_index
+    from pyfuseray.pipeline import build_from_pages
+
+    ds = rd.read_parquet(args.input)
+    if args.pages:
+        m = build_from_pages(
+            ds, args.out, corpus_dir=args.corpus_dir or (args.out + "_corpus"),
+            num_buckets=args.buckets, num_salts=args.salts,
+            overwrite=args.overwrite,
+        )
+    else:
+        m = build_index(
+            ds.select_columns(["doc_id", "text"]), args.out,
+            num_buckets=args.buckets, num_salts=args.salts,
+            overwrite=args.overwrite,
+        )
+    print(json.dumps({
+        "n_docs": m.n_docs, "avgdl": round(m.avgdl, 3),
+        "total_postings": m.total_postings, "buckets": len(m.buckets),
+    }))
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    from pyfuseray.query import IndexSearcher
+
+    s = IndexSearcher(args.index)
+    if args.scoring == "bm25":
+        hits = s.search_bm25(args.query, args.k, algorithm=args.algorithm)
+    else:
+        hits = s.search_tfidf(args.query, args.k)
+    for rank, (doc_id, score) in enumerate(hits):
+        print(f"{rank}\t{doc_id}\t{score:.6f}")
+    return 0
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    from pyfuseray.sqlfront import execute_sql
+
+    out = execute_sql(args.sql, args.index, args.corpus, top_k=args.k,
+                      scoring=args.scoring)
+    print(out.to_pandas().to_string(index=False))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pyfuseray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--pages", action="store_true",
+                   help="input is a raw pages table (url/warc_ts/html/text/lang)")
+    b.add_argument("--corpus-dir", default=None)
+    b.add_argument("--buckets", type=int, default=8)
+    b.add_argument("--salts", type=int, default=None)
+    b.add_argument("--overwrite", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="query a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--scoring", choices=["tfidf", "bm25"], default="bm25")
+    s.add_argument("--algorithm", choices=["auto", "taat", "wand"], default="auto")
+    s.set_defaults(fn=cmd_search)
+
+    q = sub.add_parser("sql", help="run a mini-SQL query (SELECT ... LIKE ...)")
+    q.add_argument("sql")
+    q.add_argument("--index", required=True)
+    q.add_argument("--corpus", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--scoring", choices=["tfidf", "bm25"], default="tfidf")
+    q.set_defaults(fn=cmd_sql)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,16 +2,16 @@
 
 - N (doc_count): corpus count — includes zero-token docs, matching the
   reference's ``doc_count = len(documents)`` (``app/InvertedIndexFinal.py:259``).
-- doclen: sum(tf) per doc (post-analyzer token count) via a
-  partial-aggregating groupby; avgdl = sum(doclen) / N.
+- avgdl: total token count via a native shuffle-free sum over run rows.
 - df/cf: projection of the segment rows (no extra shuffle — df is the
   posting-list length, ``app/InvertedIndexFinal.py:249``).
-- norms: EXACT post-merge norms (v1 semantics, ``app/InvertedIndex.py:408-419``):
-  decode segments -> (doc_id, w^2) -> groupby(doc_id) -> sqrt(sum).
-  Contributions are sorted before summation so the float64 result is
-  deterministic under any shuffle order. Zero norms -> 1
-  (``app/InvertedIndex.py:419``); docs absent from the index default to
-  norm 1 at query time.
+- docstats (doc length + EXACT post-merge cosine norms, v1 semantics
+  ``app/InvertedIndex.py:408-419``): decode segments ->
+  (doc_id, tf, w^2) -> one doc-range-bucketed shuffle -> vectorized
+  per-doc reductions. w^2 contributions are sorted within each doc
+  before summation so the float64 norm is deterministic under any
+  shuffle order. Zero norms -> 1 (``app/InvertedIndex.py:419``); docs
+  absent from the index default to norm 1 at query time.
 """
 
 from __future__ import annotations
