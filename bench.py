@@ -156,18 +156,21 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("PYFUSERAY_SCALE_LO", "4"))
+    hi = int(os.environ.get("PYFUSERAY_SCALE_HI", "16"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (pages index build, 8 -> 32 CPUs)",
+        "metric": f"scaling efficiency (pages index build, {lo} -> {hi} CPUs)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": r_lo["docs_per_sec_pages"],
-        "docs_per_sec_32": r_hi["docs_per_sec_pages"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec_pages"],
+        "docs_per_sec_hi": r_hi["docs_per_sec_pages"],
         "n_pages": r_lo["n_pages"],
     }
 

@@ -23,7 +23,11 @@ from dataclasses import asdict, dataclass, field
 from typing import Any
 
 MANIFEST_NAME = "manifest.json"
-FORMAT_VERSION = 1
+# Bump on ANY index layout/schema change: load_manifest returns None for
+# other versions, forcing a clean rebuild instead of silently reading a
+# stale layout. v2: segments/bucket=k hive layout, SPIMI run postings,
+# stats/docstats.parquet.
+FORMAT_VERSION = 2
 
 
 @dataclass

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -174,6 +176,98 @@ def dedup_pages_keep_first(
     ).map_batches(lambda t: t, batch_format="pyarrow")
     out = deduped.union(resolved)
     return (out, n_after) if with_count else out
+
+
+def ingest_pages(pages: rd.Dataset) -> tuple[rd.Dataset, int]:
+    """Single-full-pass ingest: dedup keep-first + doc_id assignment.
+
+    One NARROW pass ((url, warc_ts) only, column-pruned) collected to the
+    driver yields (a) duplicate winners (min warc_ts per url), (b) the
+    surviving row count, and (c) the sorted unique-url array — which IS
+    the doc_id map (doc_id = rank of url in sorted order). The heavy
+    columns then make exactly ONE pass: filter losers -> doc_id =
+    searchsorted(broadcast sorted urls, url). No full-width sort, no zip.
+
+    Scale note: the broadcast url array is corpus-cardinality — fine up
+    to ~10^8 urls per broadcast; beyond that the distributed path is
+    ``dedup_pages_keep_first`` + ``assign_doc_ids`` (range-partitioned
+    sort + zip-with-index), same semantics, kept and tested alongside.
+    Urls whose duplicates tie on warc_ts are resolved by the exact
+    per-group path (md5(text) tie-break).
+    """
+    import ray
+
+    meta = pages.select_columns(["url", "warc_ts"]).to_pandas()
+    # fixed-width byte arrays: sorting/searchsorted become vectorized C
+    # byte comparisons (UTF-8 byte order == code-point order), and the
+    # broadcast array is zero-copy out of the object store
+    url_width = int(meta["url"].str.len().max() or 1)
+    urls_b = meta["url"].to_numpy().astype(f"S{url_width}")
+    order = np.lexsort((meta["warc_ts"].to_numpy(), urls_b))
+    urls_sorted = urls_b[order]
+    ts_sorted = meta["warc_ts"].to_numpy()[order]
+    first_mask = np.concatenate(([True], urls_sorted[1:] != urls_sorted[:-1]))
+    unique_urls = urls_sorted[first_mask]
+    n = int(unique_urls.size)
+    dup_any = n != len(meta)
+    winners: dict[str, object] = {}
+    ambiguous: set[str] = set()
+    if dup_any:
+        # winner ts = first ts of each url group; ambiguous if the next
+        # row in the group shares the same ts
+        starts = np.flatnonzero(first_mask)
+        ends = np.concatenate((starts[1:], [len(urls_sorted)]))
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                u = urls_sorted[s].decode()
+                winners[u] = ts_sorted[s]
+                if ts_sorted[s + 1] == ts_sorted[s]:
+                    ambiguous.add(u)
+    urls_ref = ray.put(unique_urls)
+    win_ref = ray.put(winners)
+    amb_ref = ray.put(ambiguous)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        sorted_urls = ray.get(urls_ref)
+        win = ray.get(win_ref)
+        amb = ray.get(amb_ref)
+        urls = batch.column("url").to_pylist()
+        if win or amb:
+            tss = batch.column("warc_ts").to_pylist()
+            mask = []
+            for u, ts in zip(urls, tss):
+                k = win.get(u)
+                if k is None:
+                    mask.append(u not in amb)
+                else:
+                    mask.append(u not in amb and ts == k)
+            batch = batch.filter(pa.array(mask))
+            urls = batch.column("url").to_pylist()
+        keys = np.asarray(urls, dtype=sorted_urls.dtype)
+        doc_ids = np.searchsorted(sorted_urls, keys)
+        return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
+
+    out = pages.map_batches(assign, batch_format="pyarrow")
+    if ambiguous:
+        def only_ambiguous(batch: pa.Table) -> pa.Table:
+            amb = ray.get(amb_ref)
+            mask = [u in amb for u in batch.column("url").to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        resolved = _dedup_via_groups(
+            pages.map_batches(only_ambiguous, batch_format="pyarrow"),
+            "url", "warc_ts",
+        ).map_batches(lambda t: t, batch_format="pyarrow")
+
+        def assign_ids_only(batch: pa.Table) -> pa.Table:
+            sorted_urls = ray.get(urls_ref)
+            urls = batch.column("url").to_pylist()
+            keys = np.asarray(urls, dtype=sorted_urls.dtype)
+            doc_ids = np.searchsorted(sorted_urls, keys)
+            return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
+
+        out = out.union(resolved.map_batches(assign_ids_only, batch_format="pyarrow"))
+    return out, n
 
 
 def _dedup_via_groups(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:

@@ -47,7 +47,10 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     htmls = batch.column("html").to_pylist() if "html" in batch.column_names else [None] * batch.num_rows
     texts = batch.column("text").to_pylist() if "text" in batch.column_names else [None] * batch.num_rows
     out = [extract_text(h, t) for h, t in zip(htmls, texts)]
-    cols: dict[str, pa.Array | pa.ChunkedArray] = {"url": batch.column("url")}
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    if "doc_id" in batch.column_names:
+        cols["doc_id"] = batch.column("doc_id")
+    cols["url"] = batch.column("url")
     if "warc_ts" in batch.column_names:
         cols["warc_ts"] = batch.column("warc_ts")
     cols["text"] = pa.array(out, type=pa.string())

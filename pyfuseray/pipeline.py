@@ -60,16 +60,17 @@ def build_from_pages(
         shutil.rmtree(corpus_dir)
     final = os.path.join(corpus_dir, "corpus")
     if not os.path.isdir(final) or not any(os.scandir(final)):
-        # Dedup decides winners with narrow column-pruned passes and also
-        # yields the surviving row count, so the heavy columns make only
-        # ONE full pass: filter -> extract (drops html) -> sort ->
-        # zip-with-index -> corpus write.
-        from pyfuseray.docids import dedup_pages_keep_first
+        # One narrow (url, warc_ts) pass plans dedup + the doc_id rank
+        # map; the heavy columns make exactly ONE pass: filter losers ->
+        # doc_id = searchsorted -> extract (drops html) -> corpus write.
+        from pyfuseray.docids import ingest_pages
 
-        deduped, n_rows = dedup_pages_keep_first(pages, with_count=True)
-        extracted = deduped.map_batches(extract_batch, batch_format="pyarrow")
-        with_ids = assign_doc_ids(extracted, n_rows=n_rows)
-        with_ids.select_columns(["doc_id", "url", "text"]).write_parquet(final)
+        with_ids, _ = ingest_pages(pages)
+        extracted = with_ids.map_batches(extract_batch, batch_format="pyarrow")
+        # int sort by doc_id: tokenizer batches then cover contiguous doc
+        # ranges, so SPIMI runs stay doc-disjoint and the segment merge is
+        # pure concatenation (never the decode-merge fallback)
+        extracted.sort("doc_id").write_parquet(final)
     corpus = rd.read_parquet(final, columns=["doc_id", "text"])
     return build_index(corpus, out_dir, **build_kwargs)
 

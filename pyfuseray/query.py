@@ -55,6 +55,8 @@ class IndexSearcher:
         m = load_manifest(index_dir)
         if m is None or not m.stage_done("done"):
             raise FileNotFoundError(f"no complete index manifest in {index_dir}")
+        if not os.path.isdir(os.path.join(index_dir, "segments")):
+            raise FileNotFoundError(f"index manifest present but segments/ missing in {index_dir}")
         self.manifest: Manifest = m
         self.analyzer = analyzer or Analyzer()
         self._norm_vals: np.ndarray | None = None
