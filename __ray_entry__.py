@@ -263,6 +263,69 @@ def _q_quality(sf_dir: str):
     return quality_scores(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+TFIDF_SQL_QUERY_TERMS = ["fast", "scan", "merge", "batch"]
+
+
+def _q_tfidf_topk_unstemmed(sf_dir: str):
+    """Log-TF-IDF cosine top-10 over SIMPLE tokens (no stemming) for a
+    fixed query — the core ranking operator in a form DuckDB can verify
+    value-for-value (scores rounded to 6dp on both sides).
+
+    Same formula as the engine (w = (1+log10(tf)) * log10(N/df), cosine
+    normalized by document and query norms, tie-break (-score, doc_id)).
+    """
+    from collections import Counter
+
+    from pyfuseray.extras.textstats import simple_tokens
+
+    post = _q_postings_unstemmed(sf_dir).to_pandas()
+    n_docs = int(post["doc_id"].max()) + 1 if len(post) else 0
+    n_docs = max(n_docs, _docs(sf_dir).count())
+    df = post.groupby("term")["doc_id"].nunique()
+    w = (1.0 + np.log10(post["tf"].to_numpy(dtype=np.float64))) * np.log10(
+        n_docs / df[post["term"]].to_numpy(dtype=np.float64)
+    )
+    post = post.assign(w=w)
+    norms = np.sqrt(post.groupby("doc_id")["w"].apply(lambda s: (s**2).sum()))
+    q_tf = Counter(t for t in TFIDF_SQL_QUERY_TERMS)
+    scores: dict[int, float] = {}
+    q_norm2 = 0.0
+    for term in sorted(q_tf):
+        if term not in df.index:
+            continue
+        w_tq = (1.0 + np.log10(q_tf[term])) * np.log10(n_docs / float(df[term]))
+        q_norm2 += w_tq * w_tq
+        sub = post[post["term"] == term]
+        for d, w_td in zip(sub["doc_id"], sub["w"]):
+            scores[d] = scores.get(d, 0.0) + w_td * w_tq
+    q_norm = np.sqrt(q_norm2)
+    out = pd.DataFrame(
+        {
+            "doc_id": list(scores),
+            "score": [s / (q_norm * norms[d]) for d, s in scores.items()],
+        }
+    )
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)
+
+
+def _q_like_relational(sf_dir: str):
+    """Relational AND-of-terms LIKE scan (the reference's Postgres-path
+    semantics, reference app/SqlParser.py:88-119) as a vectorized
+    map_batches filter; oracle = the to_duckdb_sql rewrite itself."""
+    import pyarrow.compute as pc
+
+    def flt(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(batch["text"])
+        mask = pc.match_substring(text, "fast")
+        for t in ("scan", "merge"):
+            mask = pc.and_(mask, pc.match_substring(text, t))
+        return batch.filter(mask).select(["doc_id", "lang"])
+
+    return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_ft_df_stemmed(sf_dir: str):
@@ -382,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "fingerprints": _q_fingerprints,
         "quality_score": _q_quality,
+        "tfidf_topk_unstemmed": _q_tfidf_topk_unstemmed,
+        "like_relational": _q_like_relational,
         # rows-only (stemming / LSH / model paths have no DuckDB equivalent)
         "ft_df_stemmed": _q_ft_df_stemmed,
         "ft_search_tfidf": _q_ft_search_tfidf,
@@ -462,6 +527,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+        """,
+        "tfidf_topk_unstemmed": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            post AS (
+                SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+            ),
+            dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+            nn AS (SELECT count(*) AS n FROM documents),
+            w AS (
+                SELECT p.term, p.doc_id,
+                       (1.0 + log10(p.tf)) * log10((SELECT n FROM nn) * 1.0 / d.df) AS w_td
+                FROM post p JOIN dfs d USING (term)
+            ),
+            norms AS (
+                SELECT doc_id, sqrt(sum(w_td * w_td)) AS nrm FROM w GROUP BY doc_id
+            ),
+            qterms(term) AS (VALUES ('fast'), ('scan'), ('merge'), ('batch')),
+            qw AS (
+                SELECT q.term,
+                       log10((SELECT n FROM nn) * 1.0 / d.df) AS w_tq
+                FROM qterms q JOIN dfs d USING (term)
+            ),
+            qnorm AS (SELECT sqrt(sum(w_tq * w_tq)) AS qn FROM qw),
+            raw AS (
+                SELECT w.doc_id, sum(w.w_td * qw.w_tq) AS dot
+                FROM w JOIN qw USING (term) GROUP BY w.doc_id
+            )
+            SELECT r.doc_id,
+                   round(r.dot / ((SELECT qn FROM qnorm) * n2.nrm), 6) AS score
+            FROM raw r JOIN norms n2 USING (doc_id)
+            ORDER BY r.dot / ((SELECT qn FROM qnorm) * n2.nrm) DESC, r.doc_id
+            LIMIT 10
+        """,
+        "like_relational": """
+            SELECT doc_id, lang FROM documents
+            WHERE lower(text) LIKE '%fast%'
+              AND lower(text) LIKE '%scan%'
+              AND lower(text) LIKE '%merge%'
         """,
         "quality_score": f"""
             WITH raw AS (

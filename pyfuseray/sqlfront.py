@@ -87,6 +87,35 @@ def to_duckdb_sql(query: str, *, text_col: str = "text",
 DEFAULT_ALIASES = {"page": "url", "address": "url", "body": "text"}
 
 
+def dedup_results_keep_first(tbl: pa.Table, key: str) -> pa.Table:
+    """Result-set dedup by key while preserving rank order — the
+    reference's skip-seen-track_id loop (reference ``app/DataLoader.py:
+    161-177``). Driver-side: k is tiny."""
+    seen: set = set()
+    keep = []
+    for i, v in enumerate(tbl.column(key).to_pylist()):
+        if v not in seen:
+            seen.add(v)
+            keep.append(i)
+    return tbl.take(pa.array(keep))
+
+
+def dedup_results_keep_max_score(tbl: pa.Table, score_col: str = "score") -> pa.Table:
+    """Dedup identical result rows (all fields except the score) keeping
+    the highest score — the reference's UI-side dedup (reference
+    ``app/GradioUI.py:82-95``)."""
+    other = [c for c in tbl.column_names if c not in (score_col, "score_fmt")]
+    best: dict[tuple, int] = {}
+    scores = tbl.column(score_col).to_pylist()
+    cols = {c: tbl.column(c).to_pylist() for c in other}
+    for i in range(tbl.num_rows):
+        k = tuple(cols[c][i] for c in other)
+        if k not in best or scores[i] > scores[best[k]]:
+            best[k] = i
+    keep = sorted(best.values(), key=lambda i: (-scores[i], i))
+    return tbl.take(pa.array(keep))
+
+
 def execute_sql(
     query: str,
     index_dir: str,

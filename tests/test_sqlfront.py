@@ -103,3 +103,31 @@ def test_execute_unknown_column(sql_env):
     ix, corpus = sql_env
     with pytest.raises(KeyError):
         execute_sql("SELECT nope FROM pages LIKE quick", ix, corpus)
+
+
+def test_dedup_results_keep_first():
+    import pyarrow as pa
+
+    from pyfuseray.sqlfront import dedup_results_keep_first
+
+    tbl = pa.table({"track": ["a", "b", "a", "c", "b"], "score": [5.0, 4.0, 3.0, 2.0, 1.0]})
+    out = dedup_results_keep_first(tbl, "track")
+    assert out.column("track").to_pylist() == ["a", "b", "c"]
+    assert out.column("score").to_pylist() == [5.0, 4.0, 2.0]
+
+
+def test_dedup_results_keep_max_score():
+    import pyarrow as pa
+
+    from pyfuseray.sqlfront import dedup_results_keep_max_score
+
+    tbl = pa.table(
+        {
+            "url": ["u1", "u2", "u1", "u3"],
+            "score": [1.0, 5.0, 3.0, 2.0],
+            "score_fmt": ["1.00", "5.00", "3.00", "2.00"],
+        }
+    )
+    out = dedup_results_keep_max_score(tbl)
+    assert out.column("url").to_pylist() == ["u2", "u1", "u3"]
+    assert out.column("score").to_pylist() == [5.0, 3.0, 2.0]
