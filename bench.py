@@ -175,8 +175,63 @@ def run_scaling() -> dict:
     }
 
 
+def run_latency_table() -> dict:
+    """Reference-parity experiment (DataLoader.experiment /
+    app/reporte.txt): query p50 latency vs corpus size N."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyfuseray.pages import synth_pages
+    from pyfuseray.pipeline import build_from_pages
+    from pyfuseray.query import IndexSearcher
+
+    table = {}
+    for n in (1000, 2000, 4000, 8000, 16000, 32000, 64000):
+        pages_path = f"/tmp/pyfuseray_lat_pages_{n}.parquet"
+        if not os.path.exists(pages_path):
+            pq.write_table(
+                synth_pages(n, seed=42, vocab_size=20000, words_per_doc=(80, 400)),
+                pages_path, row_group_size=4096,
+            )
+        ix = f"/tmp/pyfuseray_lat_ix_{n}"
+        t0 = time.perf_counter()
+        build_from_pages(rd.read_parquet(pages_path), ix,
+                         corpus_dir=f"/tmp/pyfuseray_lat_corpus_{n}",
+                         num_buckets=8, overwrite=True)
+        build_s = time.perf_counter() - t0
+        s = IndexSearcher(ix)
+        lats = []
+        for q in QUERIES:
+            runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                s.search_bm25(q, 8, algorithm="auto")
+                runs.append(time.perf_counter() - t0)
+            lats.append(statistics.median(runs))
+        table[str(n)] = {
+            "build_sec": round(build_s, 2),
+            "docs_per_sec": round(n / build_s, 1),
+            "bm25_p50_ms": round(1000 * statistics.median(lats), 3),
+        }
+    ray.shutdown()
+    return {"metric": "query p50 latency vs N (reference experiment parity)",
+            "value": table[str(64000)]["bm25_p50_ms"], "unit": "ms",
+            "num_cpus": num_cpus, "table": table}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--latency-table" in sys.argv:
+        print(json.dumps(run_latency_table()))
     else:
         print(json.dumps(run_bench()))
