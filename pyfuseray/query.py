@@ -188,13 +188,16 @@ class IndexSearcher:
             return []
         seg_rows = [rows[t] for t in present]
         if algorithm == "auto":
-            # WAND's doc-at-a-time loop only wins when it can skip; with
-            # dense posting lists (a large fraction of the corpus per term)
-            # the vectorized exhaustive TAAT path is faster. Heuristic:
-            # skipping pays off when the query's lists are selective.
-            total = sum(r.df for r in seg_rows)
-            dense = total >= 0.05 * self.manifest.n_docs * max(1, len(seg_rows))
-            algorithm = "taat" if dense else "wand"
+            # WAND's doc-at-a-time loop wins when the threshold can prune:
+            # measured on a 160k-doc/20k-vocab index, vectorized TAAT wins
+            # for all-selective (tiny lists, decode-all is cheap) AND for
+            # all-dense queries (nothing can be skipped); WAND wins in the
+            # mixed regime, where high-idf selective terms raise the
+            # threshold enough to skip most of the dense lists.
+            dfs = [r.df for r in seg_rows]
+            total, min_df, max_df = sum(dfs), min(dfs), max(dfs)
+            mixed = len(dfs) > 1 and min_df <= 0.05 * max_df
+            algorithm = "wand" if (total > 50_000 and mixed) else "taat"
         if algorithm == "wand":
             return self._bm25_wand(seg_rows, top_k, k1, b)
         return self._bm25_taat(seg_rows, top_k, k1, b)
