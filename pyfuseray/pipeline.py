@@ -54,7 +54,6 @@ def build_from_pages(
     import os
     import shutil
 
-    import pyarrow.parquet as pq
 
     if build_kwargs.get("overwrite") and os.path.exists(corpus_dir):
         shutil.rmtree(corpus_dir)

@@ -99,3 +99,26 @@ def test_pages_end_to_end_rank_identity(tmp_path):
         got_b = searcher.search_bm25(q, 10, algorithm="wand")
         want_b = oracle.search_bm25(q, 10)
         assert [d for d, _ in got_b] == [d for d, _ in want_b], q
+
+
+def test_extreme_hot_term_with_salting(tmp_path):
+    """Skew stress: a term in ~95% of docs, salted into 4 doc-range
+    splits, must still merge to the exact posting list and rank
+    identically to the oracle."""
+    tbl = synth_pages(300, seed=17, hot_frac=0.95, null_text_frac=0.0)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, path)
+    out = str(tmp_path / "ix")
+    build_from_pages(rd.read_parquet(path), out, num_buckets=2, num_salts=4,
+                     overwrite=True)
+    searcher = IndexSearcher(out)
+    raw = tbl.to_pandas().sort_values("url")
+    docs = list(enumerate(
+        [extract_text(h, t) for h, t in zip(raw["html"], raw["text"])]
+    ))
+    oracle = OracleIndex().build(docs)
+    assert searcher.lookup(["webhot"])["webhot"].df == oracle.df()["webhot"]
+    for q in ["webhot", "webhot quick", "quick foxes webhot"]:
+        got = searcher.search_bm25(q, 10, algorithm="wand")
+        want = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
