@@ -284,6 +284,21 @@ def build_index(
         m.mark_stage("docstats", wall_s=round(time.perf_counter() - t0, 3))
         save_manifest(out_dir, m)
 
+    # compression metrics: delta+varbyte blob bytes vs the reference's
+    # fixed 8-byte (doc_id:I, tf:I) postings (InvertedIndexFinal.py:231)
+    total_postings = sum(int(v["n_postings"]) for v in m.buckets.values())
+    blob_bytes = 0
+    for dirpath, _, files in os.walk(segments_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                blob_bytes += os.path.getsize(os.path.join(dirpath, f))
+    m.mark_stage(
+        "compression",
+        segment_bytes=blob_bytes,
+        fixed_width_bytes=total_postings * 8,
+        bytes_per_posting=round(blob_bytes / max(1, total_postings), 3),
+        ratio_vs_fixed8=round((total_postings * 8) / max(1, blob_bytes), 2),
+    )
     m.mark_stage("done")
     save_manifest(out_dir, m)
     return m
