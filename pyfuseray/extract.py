@@ -40,6 +40,25 @@ def extract_text(html: bytes | None, text: str | None) -> str:
     return _WS.sub(" ", decoded).strip()
 
 
+def concat_text_columns(batch: pa.Table, columns: list[str],
+                        out_col: str = "text") -> pa.Table:
+    """Join several text columns with ' ' into one indexable column —
+    the reference's ``texto_concatenado`` construction (7 song fields
+    joined with ' ', consumed at reference ``app/DataLoader.py:49``).
+    Nulls contribute empty strings; vectorized via Arrow kernels."""
+    import pyarrow.compute as pc
+
+    parts = [pc.fill_null(batch.column(c).cast(pa.string()), "") for c in columns]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p, " ")
+    if out_col in batch.column_names:
+        batch = batch.set_column(batch.column_names.index(out_col), out_col, joined)
+    else:
+        batch = batch.append_column(out_col, joined)
+    return batch
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """map_batches stage: pages(url, warc_ts, html, text, ...) ->
     (url, warc_ts, text). Drops the wide ``html`` column immediately so

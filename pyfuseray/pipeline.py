@@ -35,6 +35,49 @@ def documents_to_corpus(documents: rd.Dataset) -> rd.Dataset:
     return documents.select_columns(["doc_id", "text"])
 
 
+def csv_to_corpus(
+    path: str,
+    *,
+    text_columns: list[str],
+    id_column: str | None = None,
+    dedup_column: str | None = None,
+) -> rd.Dataset:
+    """The reference's CSV ingest (reference ``app/DataLoader.py:34-49``):
+    read CSV -> optional exact dedup keep-first by key -> concatenate the
+    text fields with ' ' -> (doc_id, text).
+
+    Without ``id_column``, doc_id = rank of the dedup/first text column
+    in sorted order (positional ids don't survive parallel reads)."""
+    from pyfuseray.extract import concat_text_columns
+
+    ds = rd.read_csv(path)
+    ds = ds.map_batches(
+        lambda t: concat_text_columns(t, text_columns), batch_format="pyarrow"
+    )
+    if dedup_column is not None:
+        def keep_min(g):
+            return g.sort_values(dedup_column).head(1)
+
+        ds = ds.groupby(dedup_column).map_groups(keep_min, batch_format="pandas")
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    if id_column is not None:
+        import pyarrow.compute as pc
+
+        def use_id(batch):
+            ids = batch.column(id_column).cast("int64")
+            return batch.append_column("doc_id", ids) if "doc_id" not in batch.column_names else batch
+
+        return ds.map_batches(use_id, batch_format="pyarrow").select_columns(["doc_id", "text"])
+    # rank-by-sort ids over the key column (or the text itself)
+    key = dedup_column or text_columns[0]
+
+    def rename_key(batch):
+        return batch.append_column("url", batch.column(key).cast("string"))
+
+    keyed = ds.map_batches(rename_key, batch_format="pyarrow")
+    return assign_doc_ids(keyed).select_columns(["doc_id", "text"])
+
+
 def build_from_pages(
     pages: rd.Dataset, out_dir: str, *, corpus_dir: str | None = None, **build_kwargs
 ) -> Manifest:
