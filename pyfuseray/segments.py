@@ -53,6 +53,10 @@ SEGMENT_SCHEMA = pa.schema(
 
 _MERGED_SCHEMA = RUN_SCHEMA  # merge preserves the run schema
 
+# coarse term-bucket count for the merge shuffle: groups stay ~thousands
+# regardless of vocabulary size (per-group overhead never scales with it)
+COARSE_GROUPS = 512
+
 
 def _bm25_g(tf: np.ndarray, dl: np.ndarray, avgdl: float,
             k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
@@ -61,34 +65,36 @@ def _bm25_g(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
-def merge_runs(group: pd.DataFrame) -> pa.Table:
-    """Merge one (term[, salt]) group of runs into a single run row."""
-    rows = group.sort_values("first_doc")
-    firsts = rows["first_doc"].to_numpy()
-    lasts = rows["last_doc_max"].to_numpy()
-    disjoint = bool(np.all(firsts[1:] > lasts[:-1])) if len(rows) > 1 else True
+def _merge_one_term(rows: list[dict]) -> dict:
+    """Merge one term's runs (list of run-row dicts) into a single run."""
+    rows.sort(key=lambda r: r["first_doc"])
+    disjoint = all(
+        rows[i + 1]["first_doc"] > rows[i]["last_doc_max"]
+        for i in range(len(rows) - 1)
+    )
     if disjoint:
         blobs, l_last, l_maxtf, l_mindl, l_off = [], [], [], [], []
         shift = 0
-        for r in rows.itertuples():
-            blobs.append(bytes(r.blob))
-            l_last.extend(r.last_doc)
-            l_maxtf.extend(r.max_tf)
-            l_mindl.extend(r.min_dl)
-            l_off.extend([o + shift for o in r.offset])
-            shift += len(r.blob)
+        df = cf = 0
+        for r in rows:
+            blobs.append(r["blob"])
+            l_last.extend(r["last_doc"])
+            l_maxtf.extend(r["max_tf"])
+            l_mindl.extend(r["min_dl"])
+            l_off.extend(o + shift for o in r["offset"])
+            shift += len(r["blob"])
+            df += r["df"]
+            cf += r["cf"]
         blob = b"".join(blobs)
-        df = int(rows["df"].sum())
-        cf = int(rows["cf"].sum())
     else:
         # fallback: overlapping doc ranges (unordered corpus) — decode,
-        # merge summing tf per doc, re-encode
+        # merge summing tf per doc (InvertedIndexFinal.py:240-244), re-encode
         all_docs, all_tfs, all_mindl = [], [], []
-        for r in rows.itertuples():
-            d, t = decode_postings(bytes(r.blob), np.asarray(r.offset, dtype=np.int64))
+        for r in rows:
+            d, t = decode_postings(r["blob"], np.asarray(r["offset"], dtype=np.int64))
             all_docs.append(d)
             all_tfs.append(t)
-            all_mindl.append(min(r.min_dl) if len(r.min_dl) else 1)
+            all_mindl.append(min(r["min_dl"]) if len(r["min_dl"]) else 1)
         docs = np.concatenate(all_docs)
         tfs = np.concatenate(all_tfs)
         order = np.argsort(docs, kind="stable")
@@ -102,22 +108,51 @@ def merge_runs(group: pd.DataFrame) -> pa.Table:
         l_mindl = [int(min(all_mindl))] * len(l_last)
         l_off = enc.offset.tolist()
         df, cf = int(uniq.size), int(tfs.sum())
-    return pa.table(
-        {
-            "term": [rows["term"].iloc[0]],
-            "bucket": [int(rows["bucket"].iloc[0])],
-            "first_doc": [int(firsts[0])],
-            "last_doc_max": [int(l_last[-1]) if l_last else int(lasts[-1])],
-            "df": [df],
-            "cf": [cf],
-            "blob": [blob],
-            "last_doc": [list(map(int, l_last))],
-            "max_tf": [list(map(int, l_maxtf))],
-            "min_dl": [list(map(int, l_mindl))],
-            "offset": [list(map(int, l_off))],
-        },
-        schema=_MERGED_SCHEMA,
-    )
+    return {
+        "term": rows[0]["term"],
+        "bucket": rows[0]["bucket"],
+        "first_doc": rows[0]["first_doc"],
+        "last_doc_max": int(l_last[-1]) if l_last else rows[-1]["last_doc_max"],
+        "df": int(df),
+        "cf": int(cf),
+        "blob": blob,
+        "last_doc": list(map(int, l_last)),
+        "max_tf": list(map(int, l_maxtf)),
+        "min_dl": list(map(int, l_mindl)),
+        "offset": list(map(int, l_off)),
+    }
+
+
+def merge_runs_group(group: pd.DataFrame) -> pa.Table:
+    """Merge a COARSE group (many whole terms' runs) into run rows.
+
+    The shuffle key is a coarse term bucket (plus salt), not the term
+    itself: each map_groups call handles hundreds of terms with a tight
+    dict-grouped inner loop, so per-group framework overhead never
+    scales with vocabulary size (10^8 terms => still ~10^4 groups)."""
+    cols = {c: group[c].tolist() for c in group.columns}
+    n = len(group)
+    by_term: dict[str, list[dict]] = {}
+    for i in range(n):
+        row = {
+            "term": cols["term"][i],
+            "bucket": int(cols["bucket"][i]),
+            "first_doc": int(cols["first_doc"][i]),
+            "last_doc_max": int(cols["last_doc_max"][i]),
+            "df": int(cols["df"][i]),
+            "cf": int(cols["cf"][i]),
+            "blob": bytes(cols["blob"][i]),
+            "last_doc": list(cols["last_doc"][i]),
+            "max_tf": list(cols["max_tf"][i]),
+            "min_dl": list(cols["min_dl"][i]),
+            "offset": list(cols["offset"][i]),
+        }
+        by_term.setdefault(row["term"], []).append(row)
+    merged = [_merge_one_term(rows) for rows in by_term.values()]
+    out = {k: [m[k] for m in merged] for k in merged[0]} if merged else {
+        k.name: [] for k in _MERGED_SCHEMA
+    }
+    return pa.table(out, schema=_MERGED_SCHEMA)
 
 
 def make_finalize(n_docs: int, avgdl: float, block_size: int | None = None):
@@ -190,10 +225,12 @@ def build_bucket_segment(
     bucket id when reading a single bucket's leaf dir (hive reads of
     the root already carry the column).
     """
+    import zlib
+
     s = max(1, int(num_salts))
     n = max(1, int(n_docs))
 
-    def add_salt(batch: pa.Table) -> pa.Table:
+    def add_keys(batch: pa.Table) -> pa.Table:
         first = batch.column("first_doc").to_numpy(zero_copy_only=False)
         salt = (first.astype(np.int64) * s) // n
         if "bucket" in batch.column_names:
@@ -205,16 +242,38 @@ def build_bucket_segment(
             batch = batch.append_column(
                 "bucket", pa.array(np.full(batch.num_rows, bucket or 0, dtype=np.int32))
             )
+        tbuckets = np.fromiter(
+            ((zlib.crc32(t.encode()) >> 8) % COARSE_GROUPS
+             for t in batch.column("term").to_pylist()),
+            dtype=np.int32,
+            count=batch.num_rows,
+        )
+        batch = batch.append_column("tbucket", pa.array(tbuckets, pa.int32()))
         return batch.append_column("salt", pa.array(salt, type=pa.int64()))
 
-    salted = runs.map_batches(add_salt, batch_format="pyarrow")
+    salted = runs.map_batches(add_keys, batch_format="pyarrow")
     if s == 1:
-        merged = salted.groupby("term").map_groups(merge_runs, batch_format="pandas")
-    else:
-        part = salted.groupby(["term", "salt"]).map_groups(
-            merge_runs, batch_format="pandas"
+        merged = salted.groupby("tbucket").map_groups(
+            merge_runs_group, batch_format="pandas"
         )
-        merged = part.groupby("term").map_groups(merge_runs, batch_format="pandas")
+    else:
+        part = salted.groupby(["tbucket", "salt"]).map_groups(
+            merge_runs_group, batch_format="pandas"
+        )
+
+        def readd_tbucket(batch: pa.Table) -> pa.Table:
+            tb = np.fromiter(
+                ((zlib.crc32(t.encode()) >> 8) % COARSE_GROUPS
+                 for t in batch.column("term").to_pylist()),
+                dtype=np.int32,
+                count=batch.num_rows,
+            )
+            return batch.append_column("tbucket", pa.array(tb, pa.int32()))
+
+        part = part.map_batches(readd_tbucket, batch_format="pyarrow")
+        merged = part.groupby("tbucket").map_groups(
+            merge_runs_group, batch_format="pandas"
+        )
     return merged.map_batches(
         make_finalize(n_docs, avgdl, block_size), batch_format="pyarrow"
     )
