@@ -326,6 +326,15 @@ def _q_like_relational(sf_dir: str):
     return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")
 
 
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data as rd
+
+    from pyfuseray.extras.knn import embedding_near_dups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(ds, threshold=0.45)
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_ft_df_stemmed(sf_dir: str):
@@ -447,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "tfidf_topk_unstemmed": _q_tfidf_topk_unstemmed,
         "like_relational": _q_like_relational,
+        "embedding_near_dups": _q_embedding_near_dups,
         # rows-only (stemming / LSH / model paths have no DuckDB equivalent)
         "ft_df_stemmed": _q_ft_df_stemmed,
         "ft_search_tfidf": _q_ft_search_tfidf,
@@ -567,6 +577,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE lower(text) LIKE '%fast%'
               AND lower(text) LIKE '%scan%'
               AND lower(text) LIKE '%merge%'
+        """,
+        "embedding_near_dups": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS score
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         """,
         "quality_score": f"""
             WITH raw AS (

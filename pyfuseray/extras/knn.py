@@ -150,6 +150,54 @@ def lsh_topk(
     return results
 
 
+def embedding_near_dups(
+    embeddings: rd.Dataset,
+    threshold: float = 0.45,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    The whole normalized matrix is broadcast once via ``ray.put``; each
+    batch computes its block of the similarity matrix (one matmul) and
+    emits only pairs above threshold — a blockwise self-join. Scale
+    path: replace the broadcast side with LSH buckets (``lsh_topk``'s
+    hyperplane signatures) so only same-bucket blocks multiply.
+    """
+    full = embeddings.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    mat = np.asarray(full[vec_col].tolist(), dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    mat_ref = ray.put(mat)
+    ids_ref = ray.put(ids_all)
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        m = ray.get(mat_ref)
+        all_ids = ray.get(ids_ref)
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = vecs @ m.T
+        rows_a, rows_b, rows_s = [], [], []
+        for i in range(ids.size):
+            mask = sims[i] >= threshold
+            for j in np.flatnonzero(mask):
+                if ids[i] < all_ids[j]:
+                    rows_a.append(int(ids[i]))
+                    rows_b.append(int(all_ids[j]))
+                    rows_s.append(round(float(sims[i, j]), 6))
+        return pa.table(
+            {
+                "a": pa.array(rows_a, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "score": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(block_pairs, batch_format="pyarrow")
+
+
 def range_search(
     embeddings: rd.Dataset,
     query: np.ndarray,
