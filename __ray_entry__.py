@@ -22,12 +22,22 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+# make pyfuseray importable for the DRIVER regardless of cwd. Ray WORKER
+# processes resolve imports through the environment captured at
+# ray.init (raylet cwd / PYTHONPATH): the driver initialises Ray from
+# /root/repo, which is what makes pyfuseray importable in map stages.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
 
 SF001 = "/root/testdata/sf0.001"
 

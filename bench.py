@@ -21,6 +21,9 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# set BEFORE ray.init so spawned workers inherit it (workers do not see
+# driver-side sys.path edits)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 QUERIES = [
     "quick foxes jump", "wizard quartz", "flowers bloom spring",

@@ -15,8 +15,12 @@ import sys
 
 
 def _ray_session():
+    import os
+
     import ray
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
