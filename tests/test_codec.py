@@ -87,3 +87,27 @@ def test_empty():
     assert d.size == 0 and t.size == 0
     assert concat_encoded([]).blob == b""
     assert isinstance(concat_encoded([enc, enc]), EncodedPostings)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**7), st.integers(1, 100)),
+        min_size=1, max_size=300, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=40, deadline=None)
+def test_postings_roundtrip_any_block_size(pairs, block_size):
+    pairs.sort()
+    doc_ids = np.array([p[0] for p in pairs], dtype=np.int64)
+    tfs = np.array([p[1] for p in pairs], dtype=np.int64)
+    enc = encode_postings(doc_ids, tfs, block_size=block_size)
+    d, t = decode_postings(enc.blob, enc.offset)
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(t, tfs)
+    nblocks = enc.last_doc.size
+    assert nblocks == (len(pairs) + block_size - 1) // block_size
+    for b in range(nblocks):
+        db, tb = decode_block(enc.blob, enc.offset, b)
+        lo, hi = b * block_size, min((b + 1) * block_size, len(pairs))
+        assert np.array_equal(db, doc_ids[lo:hi])
