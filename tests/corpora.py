@@ -83,5 +83,7 @@ ALL_QUERIES = (
     PANGRAM_QUERIES
     + FLOWER_QUERIES
     + SPRING_QUERIES
-    + ["love", "quick zebras jumping", "garden season bloom"]
+    # repeated term: query-side tf=2 exercises w_tq with tf>1
+    + ["love", "quick zebras jumping", "garden season bloom",
+       "spring spring flowers", "quick quick quick fox"]
 )
