@@ -142,9 +142,33 @@ def build_index(
         raise ValueError(
             f"resume with num_buckets={num_buckets} != manifest {m.num_buckets}"
         )
+    # resume must not mix codec granularities or salt layouts: a partial
+    # index built with one block_size/num_salts silently diverges from the
+    # requested config if we keep going (decode-correct, but the WAND skip
+    # layout and bench assumptions are wrong). Mirror the num_buckets check.
+    from pyfuseray.codec import BLOCK_SIZE as _DEFAULT_BS
+
+    eff_bs = block_size or _DEFAULT_BS
+    if m.stages:  # resuming an in-progress build
+        if m.block_size and m.block_size != eff_bs:
+            raise ValueError(
+                f"resume with block_size={eff_bs} != manifest {m.block_size}"
+            )
+        if m.num_salts != num_salts:
+            raise ValueError(
+                f"resume with num_salts={num_salts} != manifest {m.num_salts}"
+            )
     m.n_docs = n_docs
     m.num_buckets = num_buckets
     m.num_salts = num_salts
+    m.block_size = eff_bs
+    # the per-block max_bm25 WAND bounds in stage C are computed with
+    # these parameters (segments._bm25_g defaults); record them so the
+    # searcher knows when the bounds are valid
+    from pyfuseray.scoring import BM25_B, BM25_K1
+
+    m.bm25_k1 = BM25_K1
+    m.bm25_b = BM25_B
 
     postings_dir = os.path.join(out_dir, "postings_raw")
     segments_dir = os.path.join(out_dir, "segments")

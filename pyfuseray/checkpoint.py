@@ -48,6 +48,14 @@ class Manifest:
     total_postings: int = 0
     num_buckets: int = 0
     num_salts: int = 1
+    # codec/scoring parameters the on-disk segments were built with.
+    # block_size=0 means "default BLOCK_SIZE" (also what pre-existing
+    # manifests load as). bm25_k1/bm25_b pin the parameters the per-block
+    # max_bm25 WAND upper bounds were computed with — bounds are invalid
+    # for any other (k1, b), so the searcher must not use WAND then.
+    block_size: int = 0
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
     stages: dict[str, dict[str, Any]] = field(default_factory=dict)
     buckets: dict[str, dict[str, Any]] = field(default_factory=dict)
 

@@ -76,6 +76,10 @@ def bulk_search(
     dls[ids] = tbl.column("dl").to_numpy().astype(np.float64)
     norms[ids] = tbl.column("norm").to_numpy().astype(np.float64)
     dl_ref = ray.put(dls)
+    # norms is as large as dls — broadcast it the same way instead of
+    # capturing the dense array in the topk_group closure (which would
+    # serialize it into every map_groups task spec)
+    norms_ref = ray.put(norms)
 
     def score_stage(batch: pa.Table) -> pa.Table:
         qt = ray.get(q_ref)
@@ -134,7 +138,7 @@ def bulk_search(
         if scoring == "tfidf":
             qn = math.sqrt(_query_norm2(qid))
             if qn > 0:
-                nrm = norms[uniq]
+                nrm = ray.get(norms_ref)[uniq]
                 nz = nrm != 0
                 sums[nz] = sums[nz] / (qn * nrm[nz])
         k = min(top_k, uniq.size)

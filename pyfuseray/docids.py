@@ -200,9 +200,12 @@ def ingest_pages(pages: rd.Dataset) -> tuple[rd.Dataset, int]:
     meta = pages.select_columns(["url", "warc_ts"]).to_pandas()
     # fixed-width byte arrays: sorting/searchsorted become vectorized C
     # byte comparisons (UTF-8 byte order == code-point order), and the
-    # broadcast array is zero-copy out of the object store
-    url_width = int(meta["url"].str.len().max() or 1)
-    urls_b = meta["url"].to_numpy().astype(f"S{url_width}")
+    # broadcast array is zero-copy out of the object store. Encode to
+    # UTF-8 explicitly (numpy .astype('S') encodes via ASCII and crashes
+    # on non-ASCII urls) and size the width in BYTES, not characters.
+    urls_utf8 = [u.encode("utf-8") for u in meta["url"]]
+    url_width = max((len(b) for b in urls_utf8), default=1) or 1
+    urls_b = np.array(urls_utf8, dtype=f"S{url_width}")
     order = np.lexsort((meta["warc_ts"].to_numpy(), urls_b))
     urls_sorted = urls_b[order]
     ts_sorted = meta["warc_ts"].to_numpy()[order]
@@ -243,7 +246,7 @@ def ingest_pages(pages: rd.Dataset) -> tuple[rd.Dataset, int]:
                     mask.append(u not in amb and ts == k)
             batch = batch.filter(pa.array(mask))
             urls = batch.column("url").to_pylist()
-        keys = np.asarray(urls, dtype=sorted_urls.dtype)
+        keys = np.array([u.encode("utf-8") for u in urls], dtype=sorted_urls.dtype)
         doc_ids = np.searchsorted(sorted_urls, keys)
         return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
 
@@ -262,7 +265,7 @@ def ingest_pages(pages: rd.Dataset) -> tuple[rd.Dataset, int]:
         def assign_ids_only(batch: pa.Table) -> pa.Table:
             sorted_urls = ray.get(urls_ref)
             urls = batch.column("url").to_pylist()
-            keys = np.asarray(urls, dtype=sorted_urls.dtype)
+            keys = np.array([u.encode("utf-8") for u in urls], dtype=sorted_urls.dtype)
             doc_ids = np.searchsorted(sorted_urls, keys)
             return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
 

@@ -187,6 +187,15 @@ class IndexSearcher:
         if not present:
             return []
         seg_rows = [rows[t] for t in present]
+        # The stored per-block max_bm25 upper bounds were computed with the
+        # BUILD-time (k1, b) (manifest.bm25_k1/bm25_b). For any other
+        # parameters they are not valid upper bounds and WAND would prune
+        # true top-k docs — fall back to exhaustive TAAT, which is exact
+        # for arbitrary (k1, b).
+        build_k1 = getattr(self.manifest, "bm25_k1", BM25_K1)
+        build_b = getattr(self.manifest, "bm25_b", BM25_B)
+        if (k1, b) != (build_k1, build_b):
+            return self._bm25_taat(seg_rows, top_k, k1, b)
         if algorithm == "auto":
             # WAND's doc-at-a-time loop wins when the threshold can prune:
             # measured on a 160k-doc/20k-vocab index, vectorized TAAT wins
@@ -229,7 +238,7 @@ class IndexSearcher:
         avgdl = self.manifest.avgdl or 1.0
         dl_dense = self._doclens()
         cursors = [
-            _Cursor(row, bm25_idf(row.df, n)) for row in seg_rows if len(row.blob)
+            _Cursor(row, bm25_idf(row.df, n), k1) for row in seg_rows if len(row.blob)
         ]
         cursors = [c for c in cursors if c.cur_doc is not None]
         heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
@@ -317,13 +326,13 @@ class _Cursor:
         "_last", "_maxs", "_nblocks",
     )
 
-    def __init__(self, row: SegmentRow, idf: float):
+    def __init__(self, row: SegmentRow, idf: float, k1: float = BM25_K1):
         self.row = row
         self.idf = idf
         self._last: list[int] = row.last_doc.tolist()
         self._maxs: list[float] = row.max_bm25.tolist()
         self._nblocks = len(self._last)
-        self.term_ub = max(self._maxs) if self._maxs else idf * (BM25_K1 + 1.0)
+        self.term_ub = max(self._maxs) if self._maxs else idf * (k1 + 1.0)
         self.block_idx = -1
         self.docs: list[int] = []
         self.tfs: list[int] = []

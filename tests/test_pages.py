@@ -101,6 +101,39 @@ def test_pages_end_to_end_rank_identity(tmp_path):
         assert [d for d, _ in got_b] == [d for d, _ in want_b], q
 
 
+def test_ingest_pages_non_ascii_urls():
+    """Real crawl urls contain non-ASCII; the fixed-width byte-array path
+    must encode UTF-8 (not ASCII) and size widths in bytes, keeping
+    doc_id = rank in UTF-8 byte order == code-point order."""
+    import pyarrow as pa
+
+    from pyfuseray.docids import ingest_pages
+
+    urls = [
+        "http://ex.com/münchen",
+        "http://ex.com/東京/page",
+        "http://ex.com/plain",
+        "http://ex.com/café",
+        "http://ex.com/ascii-longer-than-the-others-in-chars",
+    ]
+    tbl = pa.table(
+        {
+            "url": urls + [urls[0]],  # one duplicate url, later warc_ts
+            "warc_ts": [10, 10, 10, 10, 10, 99],
+            "html": [b""] * 6,
+            "text": [f"doc {i}" for i in range(5)] + ["dup text"],
+        }
+    )
+    out, n = ingest_pages(rd.from_arrow(tbl).repartition(3))
+    got = out.to_pandas().sort_values("doc_id")
+    assert n == 5
+    assert got["url"].tolist() == sorted(urls)
+    assert got["doc_id"].tolist() == list(range(5))
+    # the keep-first winner for the duplicated url is the warc_ts=10 row
+    dup_row = got[got["url"] == urls[0]]
+    assert dup_row["warc_ts"].tolist() == [10]
+
+
 def test_extreme_hot_term_with_salting(tmp_path):
     """Skew stress: a term in ~95% of docs, salted into 4 doc-range
     splits, must still merge to the exact posting list and rank

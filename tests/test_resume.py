@@ -90,6 +90,24 @@ def test_completed_buckets_are_skipped(tmp_path, monkeypatch):
     assert m.stage_done("done")
 
 
+def test_resume_config_mismatch_raises(tmp_path):
+    """Resuming with a different block_size or num_salts must raise, not
+    silently mix codec granularities / salt layouts in one index."""
+    import pytest
+
+    out = str(tmp_path / "ix")
+    build_index(_corpus(), out, num_buckets=4, num_salts=2, block_size=8,
+                overwrite=True)
+    with pytest.raises(ValueError, match="block_size"):
+        build_index(_corpus(), out, num_buckets=4, num_salts=2, block_size=16)
+    with pytest.raises(ValueError, match="num_salts"):
+        build_index(_corpus(), out, num_buckets=4, num_salts=3, block_size=8)
+    # same config resumes fine (no-op on a complete index)
+    m = build_index(_corpus(), out, num_buckets=4, num_salts=2, block_size=8)
+    assert m.stage_done("done")
+    assert m.block_size == 8
+
+
 def test_rerun_content_identical(tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     build_index(_corpus(), a, num_buckets=4, num_salts=2, overwrite=True)

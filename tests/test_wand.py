@@ -39,6 +39,19 @@ def test_wand_equals_taat(big_index, query, k):
         assert abs(s1 - s2) < 1e-12
 
 
+@pytest.mark.parametrize("k1,b", [(1.2, 0.9), (2.0, 0.75), (0.8, 0.3)])
+def test_wand_nondefault_params_fall_back_to_exact(big_index, k1, b):
+    """Stored block-max bounds are only valid for the build-time (k1, b);
+    explicit algorithm='wand' with other params must return the EXACT
+    top-k (TAAT fallback), not a silently pruned wrong one."""
+    for q in QUERIES:
+        exact = big_index.search_bm25(q, 10, algorithm="taat", k1=k1, b=b)
+        wand = big_index.search_bm25(q, 10, algorithm="wand", k1=k1, b=b)
+        assert [d for d, _ in exact] == [d for d, _ in wand], (q, k1, b)
+        for (_, s1), (_, s2) in zip(exact, wand):
+            assert abs(s1 - s2) < 1e-12
+
+
 def test_wand_tiny_blocks(tmp_path):
     """Force many blocks per posting list so skipping logic really runs."""
     out = str(tmp_path / "ix")
