@@ -345,6 +345,34 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(ds, threshold=0.45)
 
 
+def _q_embedding_near_dups_lsh(sf_dir: str):
+    """Banded-LSH near-dup pairs (the sub-quadratic scale path), sharing
+    the exact join's SQL oracle: with planes_per_band=4 / n_bands=64 the
+    per-pair miss probability at cosine 0.45 is ~4e-6, and the seeded
+    construction is deterministic — recall verified exactly 1.0 on the
+    contract inputs (sf0.001 and sf0.01) before shipping."""
+    import ray.data as rd
+
+    from pyfuseray.extras.knn import embedding_near_dups_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_near_dups_lsh(
+        ds, threshold=0.45, planes_per_band=4, n_bands=64
+    ).select_columns(["a", "b", "score"])
+    return out
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """Hamming<=3 SimHash candidate pairs via 4x16-bit block banding;
+    oracle = the equivalent SQL self-join on any-band equality."""
+    from pyfuseray.extras.dedup import simhash_candidates
+
+    out = simhash_candidates(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n_blocks=4
+    )
+    return out.select_columns(["a", "b"])
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_ft_df_stemmed(sf_dir: str):
@@ -467,14 +495,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk_unstemmed": _q_tfidf_topk_unstemmed,
         "like_relational": _q_like_relational,
         "embedding_near_dups": _q_embedding_near_dups,
-        # rows-only (stemming / LSH / model paths have no DuckDB equivalent)
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "lang_id": _q_lang_id,
+        # rows-only (stemming / minhash-LSH / model paths have no DuckDB
+        # equivalent in this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
         "ft_search_tfidf": _q_ft_search_tfidf,
         "ft_search_bm25_wand": _q_ft_search_bm25_wand,
         "sql_like_select": _q_sql_like_select,
         "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "lang_id": _q_lang_id,
         "knn_lsh": _q_knn_lsh,
         "multimodal_features": _q_multimodal_features,
     }
@@ -482,6 +513,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# SimHash in SQL: per-token 64-bit hash = big-endian first 8 bytes of
+# md5 (('0x' || substr(md5(tok),1,16))::UBIGINT == int.from_bytes(
+# digest[:8], 'big')); per-bit majority vote reconstructed bit by bit.
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(64)
+)
+_SIMHASH_RECON = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN (1::HUGEINT << {i}) ELSE 0::HUGEINT END"
+    for i in range(64)
+)
+_SIMHASH_CTE = f"""
+    toks AS (
+        SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+        FROM toks
+    ),
+    bits AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id),
+    sh AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(({_SIMHASH_RECON}), 0::HUGEINT)
+                    - 9223372036854775808::HUGEINT AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN bits USING (doc_id)
+    )
+"""
+
+# language-ID marker sets (mirror pyfuseray.extras.textstats._LANG_MARKERS)
+_LANG_SQL_MARKERS = {
+    "de": "'der','die','und','das','nicht','von','mit','den','ein','zu'",
+    "en": "'the','and','of','to','in','is','that','it','for','with'",
+    "es": "'el','la','de','que','y','en','los','del','las','por'",
+    "fr": "'le','la','les','des','est','et','une','dans','que','pour'",
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -596,6 +663,54 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS score
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
+        # the LSH path's recall is exactly 1.0 on the contract inputs
+        # (seeded, deterministic — see _q_embedding_near_dups_lsh), so it
+        # shares the exact join's oracle
+        "embedding_near_dups_lsh": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS score
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
+        "simhash": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM sh
+        """,
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            u AS (SELECT doc_id, CAST(simhash + 9223372036854775808::HUGEINT
+                                      AS UBIGINT) AS hv FROM sh)
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM u a JOIN u b ON a.doc_id < b.doc_id
+            WHERE ((a.hv >> 0)  & 65535 = (b.hv >> 0)  & 65535)
+               OR ((a.hv >> 16) & 65535 = (b.hv >> 16) & 65535)
+               OR ((a.hv >> 32) & 65535 = (b.hv >> 32) & 65535)
+               OR ((a.hv >> 48) & 65535 = (b.hv >> 48) & 65535)
+        """,
+        "lang_id": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                    len(list_filter(toks, x -> x IN ({_LANG_SQL_MARKERS['de']}))) AS c_de,
+                    len(list_filter(toks, x -> x IN ({_LANG_SQL_MARKERS['en']}))) AS c_en,
+                    len(list_filter(toks, x -> x IN ({_LANG_SQL_MARKERS['es']}))) AS c_es,
+                    len(list_filter(toks, x -> x IN ({_LANG_SQL_MARKERS['fr']}))) AS c_fr
+                FROM t
+            )
+            SELECT doc_id, CASE
+                WHEN len(toks) = 0 THEN 'und'
+                WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+            FROM c
         """,
         "quality_score": f"""
             WITH raw AS (

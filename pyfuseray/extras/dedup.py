@@ -127,6 +127,52 @@ class MinHashStage:
         )
 
 
+_MAX_BUCKET = 256
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "overflow": pd.Series(dtype="bool"),
+        }
+    )
+
+
+def _make_emit_pairs(max_bucket: int):
+    """Bucket -> candidate pairs with an explicit overflow marker.
+
+    A pathological bucket (degenerate band hash, mass-duplicated boilerplate)
+    is truncated to ``max_bucket`` ids so one bucket can never emit O(n^2)
+    of the corpus — but NEVER silently: every pair from a truncated bucket
+    carries overflow=True so downstream (and the caller's logs) see that
+    candidates were dropped there. Pair emission is vectorized."""
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        overflow = ids.size > max_bucket
+        if overflow:
+            ids = ids[:max_bucket]
+        if ids.size < 2:
+            return _empty_pairs()
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame(
+            {"a": ids[ii], "b": ids[jj], "overflow": np.full(ii.size, overflow)}
+        )
+
+    return emit_pairs
+
+
+def _dedup_pairs(pairs: rd.Dataset) -> rd.Dataset:
+    """One row per (a, b); overflow is sticky (True wins)."""
+    out = pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.sort_values("overflow", ascending=False).head(1),
+        batch_format="pandas",
+    )
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
 def minhash_candidate_pairs(
     ds: rd.Dataset,
     *,
@@ -134,22 +180,14 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     concurrency: int | tuple[int, int] = (1, 8),
+    max_bucket: int = _MAX_BUCKET,
 ) -> rd.Dataset:
-    """(a, b) candidate near-dup pairs (a < b) via banded MinHash LSH.
+    """(a, b, overflow) candidate near-dup pairs (a < b) via banded
+    MinHash LSH.
 
     shingle->minhash->band rows, then ONE groupby on (band_id, band_hash);
-    each bucket emits its pairs. Partitioning assumption: bucket sizes are
-    small (hash of a quarter-signature); a pathological bucket is bounded
-    by emitting at most ``_MAX_BUCKET`` ids per bucket.
-    """
-
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))[:_MAX_BUCKET]
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.DataFrame(pairs, columns=["a", "b"])
-
+    each bucket emits its pairs (vectorized, capped with overflow
+    markers — see ``_make_emit_pairs``)."""
     bands_ds = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
@@ -157,14 +195,131 @@ def minhash_candidate_pairs(
         concurrency=concurrency,
     )
     pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
+        _make_emit_pairs(max_bucket), batch_format="pandas"
     )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs)
 
 
-_MAX_BUCKET = 256
+def join_pair_payloads(
+    pairs: rd.Dataset,
+    payloads: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+) -> rd.Dataset:
+    """Distributed pair-payload join: (a, b) x (id, payload) ->
+    (a, b, payload_a, payload_b). Nothing iterates the corpus on the
+    driver.
+
+    Plan (two keyed shuffles, both on candidate-bounded data):
+      1. the corpus side is SEMI-JOIN filtered to candidate ids with one
+         broadcast ``ray.put`` id array + vectorized ``np.isin`` inside
+         ``map_batches`` — the full corpus streams through exactly once
+         and only candidate rows continue;
+      2. pair rows explode to (jid=a, ...) / (jid=b, ...) and union with
+         the filtered payload rows; groupby(jid) attaches the payload to
+         each pair side; groupby(a, b) pivots the two sides into one row.
+
+    Partitioning assumption: the candidate-ID ARRAY fits in the object
+    store (ids only — 8 bytes per distinct candidate; the payloads
+    themselves never broadcast). Candidates are pair-bounded and small
+    relative to the corpus in any sane LSH configuration.
+    """
+    import ray
+
+    sch = payloads.schema()
+    ptype = dict(zip(sch.names, sch.types))[payload_col]
+
+    # candidate pairs are consumed twice (id collection + explode):
+    # materialize the SMALL pair set once so the upstream LSH pipeline
+    # doesn't re-execute
+    cand = pairs.select_columns(["a", "b"]).materialize()
+    id_parts = [
+        np.unique(
+            np.concatenate(
+                [t["a"].to_numpy(zero_copy_only=False),
+                 t["b"].to_numpy(zero_copy_only=False)]
+            )
+        )
+        for t in cand.iter_batches(batch_format="pyarrow")
+    ]
+    cand_ids = (
+        np.unique(np.concatenate(id_parts)) if id_parts else np.array([], dtype=np.int64)
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(np.isin(ids, wanted)))
+        n = sub.num_rows
+        return pa.table(
+            {
+                "jid": sub.column(id_col).cast(pa.int64()),
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.full(n, 2, dtype=np.int8)),
+                "payload": sub.column(payload_col),
+            }
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        n = a.size
+        return pa.table(
+            {
+                "jid": pa.array(np.concatenate([a, b]), pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                "payload": pa.nulls(2 * n, ptype),
+            }
+        )
+
+    sides = cand.map_batches(explode, batch_format="pyarrow")
+    filtered = payloads.map_batches(semi_filter, batch_format="pyarrow")
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        payload_rows = group[group["side"] == 2]
+        if payload_rows.empty:
+            return group.iloc[0:0][["a", "b", "side", "payload"]]
+        val = payload_rows["payload"].iloc[0]
+        out = group[group["side"] != 2][["a", "b", "side"]].copy()
+        out["payload"] = [val] * len(out)
+        return out
+
+    def pivot(group: pd.DataFrame) -> pd.DataFrame:
+        s0 = group[group["side"] == 0]
+        s1 = group[group["side"] == 1]
+        if s0.empty or s1.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "payload_a": pd.Series(dtype=object),
+                 "payload_b": pd.Series(dtype=object)}
+            )
+        return pd.DataFrame(
+            {
+                "a": [int(group["a"].iloc[0])],
+                "b": [int(group["b"].iloc[0])],
+                "payload_a": [s0["payload"].iloc[0]],
+                "payload_b": [s1["payload"].iloc[0]],
+            }
+        )
+
+    joined = (
+        sides.union(filtered)
+        .groupby("jid")
+        .map_groups(attach, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(pivot, batch_format="pandas")
+    )
+    return joined.map_batches(lambda t: t, batch_format="pyarrow")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -177,6 +332,43 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def verify_pairs_jaccard(
+    pairs: rd.Dataset,
+    corpus: rd.Dataset,
+    *,
+    threshold: float,
+    shingle_k: int = 5,
+) -> rd.Dataset:
+    """Exact n-gram-Jaccard verification of candidate pairs, fully
+    distributed: pair texts arrive via ``join_pair_payloads`` (the
+    corpus streams through one semi-join filter pass — no driver
+    iteration), then a vectorized-per-batch verify stage computes the
+    exact metric and keeps pairs >= threshold."""
+    joined = join_pair_payloads(pairs, corpus, id_col="doc_id", payload_col="text")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        ta = batch.column("payload_a").to_pylist()
+        tb = batch.column("payload_b").to_pylist()
+        keep_a, keep_b, keep_j = [], [], []
+        for x, y, s, t in zip(a, b, ta, tb):
+            j = ngram_jaccard(s or "", t or "", shingle_k)
+            if j >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                keep_j.append(round(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(keep_a, pa.int64()),
+                "b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(keep_j, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_dedup(
     ds: rd.Dataset,
     *,
@@ -184,31 +376,38 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket: int = _MAX_BUCKET,
 ) -> tuple[list[tuple[int, int]], dict[int, int]]:
-    """Full near-dup pass: candidates -> exact-Jaccard verify ->
-    union-find clusters. Returns (verified_pairs, doc_id -> cluster_root).
+    """Full near-dup pass: candidates -> distributed exact-Jaccard
+    verify -> union-find clusters. Returns
+    (verified_pairs, doc_id -> cluster_root).
 
-    The verify + union-find post-pass runs on the driver and is valid
-    when the candidate set is small relative to the corpus (the normal
-    case at threshold >= 0.7); at larger candidate volumes the verify
-    step becomes a broadcast-join map_batches stage instead.
+    Candidate generation, the pair-text join, and verification are all
+    distributed stages; only the VERIFIED pair list (tiny) and the
+    union-find run on the driver. Truncated LSH buckets are surfaced via
+    a logged warning (pairs carry overflow markers — no silent caps).
     """
+    import logging
+
+    # candidates are consumed twice (verify join + overflow accounting):
+    # materialize the small pair set once
     cand = minhash_candidate_pairs(
-        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-    ).to_pandas()
-    need_ids = sorted(set(cand["a"]).union(cand["b"])) if len(cand) else []
-    texts: dict[int, str] = {}
-    if need_ids:
-        id_set = set(need_ids)
-        for row in ds.select_columns(["doc_id", "text"]).iter_rows():
-            if row["doc_id"] in id_set:
-                texts[row["doc_id"]] = row["text"]
-    verified = [
-        (int(a), int(b))
-        for a, b in zip(cand.get("a", []), cand.get("b", []))
-        if ngram_jaccard(texts.get(int(a), ""), texts.get(int(b), ""), shingle_k)
-        >= threshold
-    ]
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, max_bucket=max_bucket
+    ).materialize()
+    corpus = ds.select_columns(["doc_id", "text"])
+    verified_df = (
+        verify_pairs_jaccard(cand, corpus, threshold=threshold, shingle_k=shingle_k)
+        .to_pandas()
+        .sort_values(["a", "b"])
+    )
+    n_overflow = int(cand.to_pandas()["overflow"].sum()) if cand.count() else 0
+    if n_overflow:
+        logging.getLogger(__name__).warning(
+            "minhash_dedup: %d candidate pairs came from truncated buckets "
+            "(max_bucket=%d) — near-dup recall may be reduced there",
+            n_overflow, max_bucket,
+        )
+    verified = [(int(a), int(b)) for a, b in zip(verified_df["a"], verified_df["b"])]
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -229,27 +428,45 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
+# unpackbits yields MSB-first bits; the simhash convention here indexes
+# bits LSB-first ((h >> i) & 1), so weight unpacked position j as bit 63-j
+_SIMHASH_WEIGHTS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over token crc64-ish hashes, deterministic."""
+    """64-bit SimHash over per-token md5 hashes, deterministic.
+
+    The per-token md5 stays (value stability), but the 64-way bit
+    spread/accumulate is numpy-vectorized over ALL the doc's tokens at
+    once (one unpackbits + one column sum) instead of a Python loop
+    building a 64-element array per token."""
     toks = _TOKEN.findall((text or "").lower())
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    digests = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
+    bits = np.unpackbits(np.frombuffer(digests, dtype=np.uint8)).reshape(len(toks), 64)
+    acc = 2 * bits.astype(np.int32).sum(axis=0) - len(toks)
+    return int((_SIMHASH_WEIGHTS * (acc > 0)).sum())
+
+
+def _simhash_block_splits(n_blocks: int) -> list[tuple[int, int]]:
+    """Even split of 64 bits into n_blocks (shift, width) fields."""
+    base, extra = divmod(64, n_blocks)
+    out, shift = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
     return out
 
 
 def add_simhash(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
+    """Append ``simhash`` (int64, value shifted by -2^63 for signed
+    storage) plus the 4x16-bit band columns used by the small-corpus
+    hamming<=3 grouping."""
+
     def stage(batch: pa.Table) -> pa.Table:
         hs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
-        # store as 4x16-bit bands for hamming<=3 LSH grouping
         tbl = batch.append_column(
             "simhash", pa.array([h - (1 << 63) for h in hs], type=pa.int64())
         )
@@ -263,27 +480,70 @@ def add_simhash(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
-def simhash_candidates(ds: rd.Dataset) -> rd.Dataset:
-    """Hamming<=3 candidates: two docs agreeing on any 16-bit band.
+def simhash_candidates(
+    ds: rd.Dataset,
+    *,
+    n_docs: int | None = None,
+    n_blocks: int | None = None,
+    hamming: int = 3,
+    max_bucket: int = _MAX_BUCKET,
+) -> rd.Dataset:
+    """Hamming<=``hamming`` candidate pairs via block-combination banding
+    (Manku/Charikar-style web-dedup construction, public knowledge).
 
-    (4 bands of 16 bits: any pair within hamming distance 3 shares at
-    least one exact band — pigeonhole.) One groupby per band, unioned.
+    Pigeonhole: split 64 bits into ``n_blocks`` blocks; a pair within
+    hamming distance h differs in at most h blocks, so it AGREES exactly
+    on some (n_blocks - h)-subset — emit one key per subset
+    (C(n_blocks, n_blocks-h) keys/doc), ONE groupby over (combo, key).
+
+    Band width is derived from corpus size (the round-1 fixed 16-bit
+    bands meant ~N/65,536 docs per bucket at web scale): more blocks =
+    more keys/doc but each key carries more bits, keeping expected
+    bucket size ~N / 2^key_bits bounded. n_blocks=4 -> 4 keys of 16
+    bits (small corpora); n_blocks=6 -> 20 keys of 32 bits (<= ~10^9
+    docs); n_blocks=8 -> 56 keys of 40 bits. Oversized buckets emit
+    capped pairs with overflow markers (``_make_emit_pairs``).
     """
-    with_h = add_simhash(ds)
+    from itertools import combinations
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))[:_MAX_BUCKET]
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.DataFrame(pairs, columns=["a", "b"])
+    if n_blocks is None:
+        if n_docs is None:
+            n_docs = ds.count()
+        n_blocks = 4 if n_docs < 4_000_000 else (6 if n_docs < 1_000_000_000 else 8)
+    assert n_blocks > hamming, "need more blocks than the hamming budget"
+    splits = _simhash_block_splits(n_blocks)
+    combos = list(combinations(range(n_blocks), n_blocks - hamming))
 
-    parts = []
-    for band in range(4):
-        parts.append(
-            with_h.select_columns(["doc_id", f"sim_band{band}"])
-            .groupby(f"sim_band{band}")
-            .map_groups(emit_pairs, batch_format="pandas")
+    def keys_stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = ids.size
+        # block values for every doc: (n, n_blocks)
+        blocks = np.empty((n, n_blocks), dtype=np.uint64)
+        for i, (shift, width) in enumerate(splits):
+            blocks[:, i] = (hs >> np.uint64(shift)) & np.uint64((1 << width) - 1)
+        out_combo = np.repeat(
+            np.arange(len(combos), dtype=np.int32)[None, :], n, axis=0
+        ).ravel()
+        keys = np.empty((n, len(combos)), dtype=np.uint64)
+        for ci, combo in enumerate(combos):
+            acc = np.zeros(n, dtype=np.uint64)
+            for bi in combo:
+                acc = (acc << np.uint64(splits[bi][1])) | blocks[:, bi]
+            keys[:, ci] = acc
+        return pa.table(
+            {
+                "combo": pa.array(out_combo, pa.int32()),
+                "key": pa.array(keys.ravel().view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, len(combos)), pa.int64()),
+            }
         )
-    allp = parts[0].union(*parts[1:])
-    return allp.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    keyed = ds.select_columns(["doc_id", "text"]).map_batches(
+        keys_stage, batch_format="pyarrow"
+    )
+    pairs = keyed.groupby(["combo", "key"]).map_groups(
+        _make_emit_pairs(max_bucket), batch_format="pandas"
+    )
+    return _dedup_pairs(pairs)

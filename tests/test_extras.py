@@ -130,6 +130,201 @@ def test_range_search():
     assert dists == sorted(dists)
 
 
+# -- near-dup scale shapes (round-2 rebuilds) --------------------------------
+
+def _clustered_emb(n_base=120, n_clusters=12, per_cluster=3, dim=24, seed=41):
+    """Random base + tight clusters: pairs inside a cluster are high-sim."""
+    rng = np.random.default_rng(seed)
+    rows = [rng.standard_normal(dim) for _ in range(n_base)]
+    for _ in range(n_clusters):
+        v = rng.standard_normal(dim)
+        rows.extend(v + 0.05 * rng.standard_normal(dim) for _ in range(per_cluster))
+    mat = np.asarray(rows, dtype=np.float64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float64())),
+        }
+    )
+    return rd.from_arrow(tbl).repartition(5), mat
+
+
+def _oracle_pairs(mat, threshold):
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu = np.triu_indices(len(mat), 1)
+    mask = sims[iu] >= threshold
+    return set(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+
+
+def test_embedding_near_dups_exact_multiblock():
+    """Block-pair self-join is EXACT across many block pairs."""
+    from pyfuseray.extras.knn import embedding_near_dups
+
+    ds, mat = _clustered_emb()
+    for th in (0.45, 0.9):
+        got = embedding_near_dups(ds, th, target_block_rows=32).to_pandas()
+        assert set(zip(got["a"], got["b"])) == _oracle_pairs(mat, th), th
+        assert (got["a"] < got["b"]).all()
+
+
+def test_embedding_near_dups_never_materializes_matrix(monkeypatch):
+    """The exact join must not collect the embedding table to the driver
+    (no Dataset.to_pandas on a vector schema) nor broadcast any
+    matrix-sized array via ray.put."""
+    import ray
+
+    from pyfuseray.extras.knn import embedding_near_dups
+
+    ds, mat = _clustered_emb()
+
+    real_to_pandas = rd.Dataset.to_pandas
+
+    def guarded_to_pandas(self, *a, **k):
+        assert "embedding" not in self.schema().names, (
+            "driver materialized the embedding table"
+        )
+        return real_to_pandas(self, *a, **k)
+
+    real_put = ray.put
+
+    def guarded_put(obj, **k):
+        if isinstance(obj, np.ndarray):
+            assert obj.nbytes < mat.nbytes / 2, "matrix-sized broadcast detected"
+        return real_put(obj, **k)
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", guarded_to_pandas)
+    monkeypatch.setattr(ray, "put", guarded_put)
+    out = embedding_near_dups(ds, 0.9, target_block_rows=32).to_pandas()
+    assert len(out) == len(_oracle_pairs(mat, 0.9))
+
+
+def test_embedding_near_dups_lsh_high_threshold_recall():
+    """At near-dup thresholds the banded-LSH path recovers every true
+    pair on clustered data (and never emits a false positive — scores
+    are exact cosine)."""
+    from pyfuseray.extras.knn import embedding_near_dups_lsh
+
+    ds, mat = _clustered_emb()
+    want = _oracle_pairs(mat, 0.9)
+    got = embedding_near_dups_lsh(ds, 0.9, planes_per_band=8, n_bands=16).to_pandas()
+    gset = set(zip(got["a"], got["b"]))
+    assert gset == want
+    assert not got["overflow"].any()
+
+
+def test_embedding_near_dups_lsh_overflow_marker():
+    """A pathological bucket (many identical vectors) emits capped pairs
+    WITH overflow markers, never a silent drop."""
+    from pyfuseray.extras.knn import embedding_near_dups_lsh
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([vec] * 40, pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(2)
+    got = embedding_near_dups_lsh(ds, 0.9, max_bucket=10).to_pandas()
+    assert len(got) > 0
+    assert got["overflow"].all()
+
+
+def test_minhash_verify_no_driver_corpus_scan(monkeypatch):
+    """Round-1 regression: the verify step iterated the ENTIRE corpus on
+    the driver via iter_rows. The distributed pair-text join must never
+    call Dataset.iter_rows at all."""
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side Dataset.iter_rows during minhash_dedup")
+
+    monkeypatch.setattr(rd.Dataset, "iter_rows", boom)
+    base = "the quick brown fox jumps over the lazy dog and runs through the fields"
+    texts = [base, base + " tail", "unrelated content about engines and files and shuffles"]
+    verified, clusters = minhash_dedup(_doc_ds(texts), threshold=0.5)
+    assert (0, 1) in verified
+    assert clusters.get(1) == 0
+
+
+def test_minhash_overflow_marker_and_warning(caplog):
+    """Oversized LSH buckets cap pair emission but surface it: overflow
+    column on the pairs and a driver-side warning."""
+    import logging
+
+    from pyfuseray.extras.dedup import minhash_candidate_pairs
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "identical boilerplate text repeated here"} for i in range(30)]
+    ).repartition(3)
+    cand = minhash_candidate_pairs(ds, max_bucket=10).to_pandas()
+    assert len(cand) == 45  # C(10,2), capped
+    assert cand["overflow"].all()
+    with caplog.at_level(logging.WARNING, logger="pyfuseray.extras.dedup"):
+        minhash_dedup(ds, threshold=0.5, max_bucket=10)
+    assert any("truncated buckets" in r.message for r in caplog.records)
+
+
+def test_join_pair_payloads():
+    from pyfuseray.extras.dedup import join_pair_payloads
+
+    pairs = rd.from_items([{"a": 0, "b": 2}, {"a": 1, "b": 3}])
+    payloads = rd.from_items(
+        [{"doc_id": i, "text": f"text-{i}"} for i in range(6)]
+    ).repartition(3)
+    out = join_pair_payloads(pairs, payloads).to_pandas().sort_values("a")
+    assert out[["a", "b"]].values.tolist() == [[0, 2], [1, 3]]
+    assert out["payload_a"].tolist() == ["text-0", "text-1"]
+    assert out["payload_b"].tolist() == ["text-2", "text-3"]
+
+
+def test_simhash_block_banding_covers_hamming3():
+    """Pigeonhole guarantee holds for BOTH band layouts: every true
+    hamming<=3 pair is a candidate under 4-block (16-bit keys) and
+    6-block (C(6,3) 32-bit keys) banding."""
+    texts = [f"unique document number {i} alpha beta gamma {i * 7}" for i in range(30)]
+    texts += ["shared boilerplate sentence with many words in common here"] * 4
+    ds = _doc_ds(texts)
+    hs = [simhash64(t) for t in texts]
+    true3 = {
+        (a, b)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert true3  # the fixture really has close pairs
+    for blocks in (4, 6):
+        cand = simhash_candidates(ds, n_blocks=blocks).to_pandas()
+        got = set(zip(cand["a"], cand["b"]))
+        assert true3 <= got, blocks
+
+
+def test_simhash64_golden_values():
+    """The vectorized bit-spread must keep exact value compatibility with
+    the original per-token loop (golden values computed with it)."""
+    import hashlib
+
+    from pyfuseray.extras.dedup import _TOKEN
+
+    def reference(text):
+        toks = _TOKEN.findall((text or "").lower())
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += bits * 2 - 1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    for t in ["", "a", "the quick brown fox", "xyzzy " * 40, "Traum über 123"]:
+        assert simhash64(t) == reference(t), t
+
+
 # -- textstats ---------------------------------------------------------------
 
 def test_token_counts():
