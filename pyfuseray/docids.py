@@ -178,24 +178,44 @@ def dedup_pages_keep_first(
     return (out, n_after) if with_count else out
 
 
-def ingest_pages(pages: rd.Dataset) -> tuple[rd.Dataset, int]:
-    """Single-full-pass ingest: dedup keep-first + doc_id assignment.
+# above this row count the sorted-url broadcast (8-64 B/url) stops being
+# a sane object-store resident and ingest routes to the distributed
+# sort-based path instead
+BROADCAST_URL_LIMIT = 50_000_000
 
-    One NARROW pass ((url, warc_ts) only, column-pruned) collected to the
-    driver yields (a) duplicate winners (min warc_ts per url), (b) the
+
+def ingest_pages(
+    pages: rd.Dataset,
+    *,
+    broadcast_threshold: int = BROADCAST_URL_LIMIT,
+    n_rows: int | None = None,
+) -> tuple[rd.Dataset, int]:
+    """Ingest: dedup keep-first + doc_id assignment, route chosen by size.
+
+    Small/medium corpora (<= ``broadcast_threshold`` rows): one NARROW
+    pass ((url, warc_ts) only, column-pruned) collected to the driver
+    yields (a) duplicate winners (min warc_ts per url), (b) the
     surviving row count, and (c) the sorted unique-url array — which IS
     the doc_id map (doc_id = rank of url in sorted order). The heavy
     columns then make exactly ONE pass: filter losers -> doc_id =
     searchsorted(broadcast sorted urls, url). No full-width sort, no zip.
 
-    Scale note: the broadcast url array is corpus-cardinality — fine up
-    to ~10^8 urls per broadcast; beyond that the distributed path is
-    ``dedup_pages_keep_first`` + ``assign_doc_ids`` (range-partitioned
-    sort + zip-with-index), same semantics, kept and tested alongside.
-    Urls whose duplicates tie on warc_ts are resolved by the exact
-    per-group path (md5(text) tie-break).
+    Above the threshold the broadcast url array would be too large for a
+    sane object-store broadcast, so ingest routes to the fully
+    distributed path: ``dedup_pages_keep_first`` (narrow dup discovery +
+    one filter pass) + ``assign_doc_ids`` (range-partitioned sort +
+    zip-with-index). Both routes produce the identical (doc_id, url) map
+    (tested side by side). Urls whose duplicates tie on warc_ts are
+    resolved by the exact per-group path (md5(text) tie-break) on either
+    route.
     """
     import ray
+
+    if n_rows is None:
+        n_rows = pages.count()
+    if n_rows > broadcast_threshold:
+        deduped, n_after = dedup_pages_keep_first(pages, with_count=True)
+        return assign_doc_ids(deduped, n_after), n_after
 
     meta = pages.select_columns(["url", "warc_ts"]).to_pandas()
     # fixed-width byte arrays: sorting/searchsorted become vectorized C

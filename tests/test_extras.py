@@ -120,6 +120,31 @@ def test_lsh_topk_reasonable_recall():
     assert len(exact & approx) >= 3  # bucketed search keeps some true neighbors
 
 
+def test_sampled_lsh_recall_vs_brute():
+    """O9 random sampling: a seeded ``ds.random_sample`` draws the query
+    set; recall@10 of lsh_topk is measured against brute_force_topk over
+    the sampled queries — the analogue of the reference's sampled
+    Sequential-vs-RTree consistency test
+    (``app/tests/image_knn_test.py:64-80``)."""
+    ds, vecs = _emb_ds(n=300, seed=13)
+    sample = ds.random_sample(0.06, seed=77).to_pandas()
+    assert 2 <= len(sample) <= 60  # fraction is approximate by design
+    # determinism: the same seed draws the same sample
+    again = ds.random_sample(0.06, seed=77).to_pandas()
+    assert sample["vec_id"].tolist() == again["vec_id"].tolist()
+    qids = sample["vec_id"].tolist()
+    queries = np.asarray(sample["embedding"].tolist(), dtype=np.float32)
+    exact = brute_force_topk(ds, queries, 10)
+    approx = lsh_topk(ds, queries, 10, n_planes=4)
+    recalls = []
+    for e, a in zip(exact, approx):
+        recalls.append(len({v for v, _ in e} & {v for v, _ in a}) / 10)
+    assert sum(recalls) / len(recalls) >= 0.2  # bucketed search keeps neighbors
+    # self-recall: each sampled query's own vector shares its bucket
+    for qid, a in zip(qids, approx):
+        assert qid in {v for v, _ in a}
+
+
 def test_range_search():
     ds, vecs = _emb_ds()
     res = range_search(ds, vecs[5], radius=1e-6)

@@ -134,6 +134,24 @@ def test_ingest_pages_non_ascii_urls():
     assert dup_row["warc_ts"].tolist() == [10]
 
 
+def test_ingest_routes_agree():
+    """The broadcast route (sorted-url array via ray.put) and the
+    size-gated distributed route (dedup_pages_keep_first +
+    assign_doc_ids) must produce the identical (doc_id, url, warc_ts)
+    map on the same input."""
+    from pyfuseray.docids import ingest_pages
+
+    tbl = synth_pages(200, seed=9, dup_frac=0.25)
+    ds = rd.from_arrow(tbl).repartition(5)
+    bc, n1 = ingest_pages(ds)
+    dist, n2 = ingest_pages(ds, broadcast_threshold=10)  # force distributed
+    assert n1 == n2
+    cols = ["doc_id", "url", "warc_ts"]
+    a = bc.to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    b = dist.to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_extreme_hot_term_with_salting(tmp_path):
     """Skew stress: a term in ~95% of docs, salted into 4 doc-range
     splits, must still merge to the exact posting list and rank
