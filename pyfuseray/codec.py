@@ -166,6 +166,25 @@ def decode_postings(blob: bytes | memoryview, offsets: np.ndarray) -> tuple[np.n
     return doc_ids, tfs
 
 
+def decode_span(
+    blob: bytes | memoryview,
+    offsets: np.ndarray,
+    lo: int,
+    hi: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode blocks lo..hi (inclusive) in ONE vectorized pass.
+
+    Every block restarts from an absolute doc_id, so a contiguous byte
+    range of blocks is itself a valid posting blob; this amortizes the
+    fixed numpy overhead of ``varbyte_decode`` across the span (windowed
+    WAND decodes spans of up to 32 blocks at a time instead of paying
+    that overhead per 128-posting block)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    start = int(offsets[lo])
+    end = int(offsets[hi + 1]) if hi + 1 < offsets.size else len(blob)
+    return decode_postings(memoryview(blob)[start:end], offsets[lo : hi + 1] - start)
+
+
 def decode_block(
     blob: bytes | memoryview,
     offsets: np.ndarray,
