@@ -104,7 +104,7 @@ def build_from_pages(
     if not os.path.isdir(final) or not any(os.scandir(final)):
         # One narrow (url, warc_ts) pass plans dedup + the doc_id rank
         # map; the heavy columns make exactly ONE pass: filter losers ->
-        # doc_id = searchsorted -> extract (drops html) -> corpus write.
+        # doc_id = searchsorted -> extract (drops html) -> doc_id sort.
         from pyfuseray.docids import ingest_pages
 
         with_ids, _ = ingest_pages(pages)
@@ -112,7 +112,45 @@ def build_from_pages(
         # int sort by doc_id: tokenizer batches then cover contiguous doc
         # ranges, so SPIMI runs stay doc-disjoint and the segment merge is
         # pure concatenation (never the decode-merge fallback)
-        extracted.sort("doc_id").write_parquet(final)
+        corpus_mat = extracted.sort("doc_id").materialize()
+        # the checkpoint write is pure disk work — overlap it with the
+        # (CPU-bound) tokenize stage instead of serializing ahead of it.
+        # The build consumes the materialized blocks straight from the
+        # object store (spill-backed, so this also holds for corpora
+        # bigger than memory); a resumed run reads the finished parquet.
+        import threading
+
+        from pyfuseray.build import _pin_fsspec_http_stub
+
+        # two driver threads run Ray Data pipelines concurrently: pin the
+        # fsspec http stub BEFORE the thread starts (the failed-import
+        # eviction race, see _pin_fsspec_http_stub)
+        _pin_fsspec_http_stub()
+
+        tmp_final = final + ".writing"
+        if os.path.exists(tmp_final):
+            shutil.rmtree(tmp_final)
+        err: list[BaseException] = []
+
+        def _write_corpus():
+            try:
+                corpus_mat.write_parquet(tmp_final)
+                os.replace(tmp_final, final)
+            except BaseException as e:  # surfaced after join
+                err.append(e)
+
+        writer = threading.Thread(target=_write_corpus, daemon=True)
+        writer.start()
+        try:
+            manifest = build_index(
+                corpus_mat.select_columns(["doc_id", "text"]), out_dir,
+                **build_kwargs,
+            )
+        finally:
+            writer.join()
+        if err:
+            raise err[0]
+        return manifest
     corpus = rd.read_parquet(final, columns=["doc_id", "text"])
     return build_index(corpus, out_dir, **build_kwargs)
 

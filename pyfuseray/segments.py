@@ -123,36 +123,139 @@ def _merge_one_term(rows: list[dict]) -> dict:
     }
 
 
-def merge_runs_group(group: pd.DataFrame) -> pa.Table:
+def _empty_runs_table() -> pa.Table:
+    return pa.table(
+        {f.name: pa.array([], type=f.type) for f in _MERGED_SCHEMA},
+        schema=_MERGED_SCHEMA,
+    )
+
+
+def _binary_offsets(arr: pa.Array) -> tuple[np.ndarray, pa.Buffer]:
+    """(value byte offsets incl. end, data buffer) of a BinaryArray."""
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    return off.astype(np.int64), bufs[2]
+
+
+def _list_parts(arr: pa.ListArray) -> tuple[np.ndarray, pa.Array]:
+    """(element offsets incl. end, flattened values honoring offsets)."""
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return off, arr.values
+
+
+def merge_runs_group(group: pa.Table | pd.DataFrame) -> pa.Table:
     """Merge a COARSE group (many whole terms' runs) into run rows.
 
     The shuffle key is a coarse term bucket (plus salt), not the term
-    itself: each map_groups call handles hundreds of terms with a tight
-    dict-grouped inner loop, so per-group framework overhead never
-    scales with vocabulary size (10^8 terms => still ~10^4 groups)."""
-    cols = {c: group[c].tolist() for c in group.columns}
-    n = len(group)
+    itself, so per-group framework overhead never scales with vocabulary
+    size (10^8 terms => still ~10^4 groups). The merge itself is
+    arrow-vectorized: one lexsort by (term, first_doc), segmented
+    reductions for df/cf, and ZERO-COPY re-slicing of the blob and
+    per-block list columns (a term's merged blob is a byte range of the
+    sorted arrays' shared data buffer — no per-row Python). Terms whose
+    runs overlap in doc range (unsorted corpus) fall back to the exact
+    decode-merge path (``_merge_one_term``), rare by construction.
+    """
+    if isinstance(group, pd.DataFrame):
+        group = pa.Table.from_pandas(group, preserve_index=False)
+    n = group.num_rows
+    if n == 0:
+        return _empty_runs_table()
+    g = group.select([f.name for f in _MERGED_SCHEMA]).combine_chunks()
+    col = {name: g.column(name).chunk(0) for name in g.column_names}
+    codes = col["term"].dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    first = col["first_doc"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((first, codes))
+    gs = g.take(pa.array(order)).combine_chunks()
+    col = {name: gs.column(name).chunk(0) for name in gs.column_names}
+    codes_s = codes[order]
+    first_s = first[order]
+    last_s = col["last_doc_max"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate(([True], codes_s[1:] != codes_s[:-1])))
+    ends = np.concatenate((starts[1:], [n]))
+    nterms = starts.size
+    # disjointness per term: every non-first row starts after the
+    # previous row's range ends
+    ok = np.empty(n, dtype=bool)
+    ok[0] = True
+    ok[1:] = first_s[1:] > last_s[:-1]
+    ok[starts] = True
+    disjoint = np.logical_and.reduceat(ok, starts)
+
+    dfs = col["df"].to_numpy(zero_copy_only=False)
+    cfs = col["cf"].to_numpy(zero_copy_only=False)
+    out_df = np.add.reduceat(dfs, starts)
+    out_cf = np.add.reduceat(cfs, starts)
+    term_idx = pa.array(starts)
+    out_term = col["term"].take(term_idx)
+    out_bucket = col["bucket"].take(term_idx)
+    out_first = first_s[starts]
+    out_lastmax = last_s[ends - 1]
+
+    # blob: a merged term's blob is the byte range [row_off[start],
+    # row_off[end]) of the sorted binary column's data buffer
+    boff, bdata = _binary_offsets(col["blob"])
+    new_boff = boff[np.concatenate((starts, [n]))].astype(np.int32)
+    out_blob = pa.Array.from_buffers(
+        pa.binary(), nterms, [None, pa.py_buffer(new_boff.tobytes()), bdata]
+    )
+
+    def reslice(name: str) -> pa.ListArray:
+        off, values = _list_parts(col[name])
+        new_off = off[np.concatenate((starts, [n]))].astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), values)
+
+    out_last = reslice("last_doc")
+    out_maxtf = reslice("max_tf")
+    out_mindl = reslice("min_dl")
+    # offset lists shift by the cumulative blob length of the term's
+    # preceding runs (blob concatenation order == sorted row order)
+    ooff, ovalues = _list_parts(col["offset"])
+    blob_lens = np.diff(boff)
+    excl = np.concatenate(([0], np.cumsum(blob_lens)[:-1]))
+    shift = excl - np.repeat(excl[starts], ends - starts)
+    # rebase to the referenced value range so the per-row repeat aligns
+    # even if the values child carries unreferenced head/tail elements
+    vals = ovalues.to_numpy(zero_copy_only=False)[ooff[0] : ooff[-1]]
+    shifted = vals + np.repeat(shift, np.diff(ooff))
+    new_ooff = (ooff[np.concatenate((starts, [n]))] - ooff[0]).astype(np.int32)
+    out_off = pa.ListArray.from_arrays(
+        pa.array(new_ooff, pa.int32()), pa.array(shifted, pa.int64())
+    )
+
+    out = pa.table(
+        {
+            "term": out_term,
+            "bucket": out_bucket,
+            "first_doc": pa.array(out_first, pa.int64()),
+            "last_doc_max": pa.array(out_lastmax, pa.int64()),
+            "df": pa.array(out_df.astype(np.int64), pa.int64()),
+            "cf": pa.array(out_cf.astype(np.int64), pa.int64()),
+            "blob": out_blob,
+            "last_doc": out_last,
+            "max_tf": out_maxtf,
+            "min_dl": out_mindl,
+            "offset": out_off,
+        },
+        schema=_MERGED_SCHEMA,
+    )
+    if disjoint.all():
+        return out
+    # rare fallback: overlapping doc ranges — redo those terms exactly
+    out = out.filter(pa.array(disjoint))
+    slow_rows = gs.filter(pa.array(np.repeat(~disjoint, ends - starts)))
+    cols = slow_rows.to_pydict()
     by_term: dict[str, list[dict]] = {}
-    for i in range(n):
-        row = {
-            "term": cols["term"][i],
-            "bucket": int(cols["bucket"][i]),
-            "first_doc": int(cols["first_doc"][i]),
-            "last_doc_max": int(cols["last_doc_max"][i]),
-            "df": int(cols["df"][i]),
-            "cf": int(cols["cf"][i]),
-            "blob": bytes(cols["blob"][i]),
-            "last_doc": list(cols["last_doc"][i]),
-            "max_tf": list(cols["max_tf"][i]),
-            "min_dl": list(cols["min_dl"][i]),
-            "offset": list(cols["offset"][i]),
-        }
+    for i in range(slow_rows.num_rows):
+        row = {k: cols[k][i] for k in cols}
+        row["blob"] = bytes(row["blob"])
         by_term.setdefault(row["term"], []).append(row)
     merged = [_merge_one_term(rows) for rows in by_term.values()]
-    out = {k: [m[k] for m in merged] for k in merged[0]} if merged else {
-        k.name: [] for k in _MERGED_SCHEMA
-    }
-    return pa.table(out, schema=_MERGED_SCHEMA)
+    slow_out = pa.table(
+        {k.name: [m[k.name] for m in merged] for k in _MERGED_SCHEMA},
+        schema=_MERGED_SCHEMA,
+    )
+    return pa.concat_tables([out, slow_out])
 
 
 def _empty_segment_table() -> pa.Table:
@@ -312,11 +415,11 @@ def build_bucket_segment(
     salted = runs.map_batches(add_keys, batch_format="pyarrow")
     if s == 1:
         merged = salted.groupby("tbucket").map_groups(
-            merge_runs_group, batch_format="pandas"
+            merge_runs_group, batch_format="pyarrow"
         )
     else:
         part = salted.groupby(["tbucket", "salt"]).map_groups(
-            merge_runs_group, batch_format="pandas"
+            merge_runs_group, batch_format="pyarrow"
         )
 
         def readd_tbucket(batch: pa.Table) -> pa.Table:
@@ -330,7 +433,7 @@ def build_bucket_segment(
 
         part = part.map_batches(readd_tbucket, batch_format="pyarrow")
         merged = part.groupby("tbucket").map_groups(
-            merge_runs_group, batch_format="pandas"
+            merge_runs_group, batch_format="pyarrow"
         )
     return merged.map_batches(
         make_finalize(n_docs, avgdl, block_size), batch_format="pyarrow"

@@ -119,3 +119,40 @@ def test_scores_descend(pangram_index):
         assert res, q
         scores = [s for _, s in res]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_unsorted_corpus_hits_decode_merge_fallback(tmp_path):
+    """An interleaved (non-doc-sorted) corpus makes tokenizer runs
+    OVERLAP in doc range, forcing the decode-merge fallback inside
+    merge_runs_group; the result must still be content-identical to the
+    sorted build (same searcher answers, same df table)."""
+    import glob
+    import os
+
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(PANGRAM_DOCS * 3)]
+    sorted_ds = rd.from_items(docs).repartition(4)
+    # interleave doc ranges across partitions: round-robin order
+    shuffled = [docs[i] for i in range(0, len(docs), 2)] + [
+        docs[i] for i in range(1, len(docs), 2)
+    ]
+    shuffled_ds = rd.from_items(shuffled).repartition(4)
+
+    a, b = str(tmp_path / "sorted"), str(tmp_path / "shuffled")
+    build_index(sorted_ds, a, num_buckets=2, num_salts=1,
+                tokenizer_batch_size=8, overwrite=True)
+    build_index(shuffled_ds, b, num_buckets=2, num_salts=1,
+                tokenizer_batch_size=8, overwrite=True)
+
+    def seg_content(ix):
+        files = sorted(glob.glob(os.path.join(ix, "segments", "bucket=*", "*.parquet")))
+        t = pads.dataset(files).to_table()
+        return sorted(zip(t["term"].to_pylist(), t["df"].to_pylist(),
+                          t["cf"].to_pylist()))
+
+    assert seg_content(a) == seg_content(b)
+    sa, sb = IndexSearcher(a), IndexSearcher(b)
+    for q in PANGRAM_QUERIES:
+        assert sa.search_tfidf(q, 10) == sb.search_tfidf(q, 10), q
+        assert sa.search_bm25(q, 10, algorithm="wand") == sb.search_bm25(
+            q, 10, algorithm="wand"
+        ), q
