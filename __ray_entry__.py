@@ -461,6 +461,29 @@ def _q_knn_lsh(sf_dir: str):
     )
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF ANN top-10 for vec_id=0's embedding (sub-linear scale path:
+    seeded sample -> spherical k-means -> partition-pruned probes)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyfuseray.extras.ivf import build_ivf, ivf_topk, load_ivf
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ivf_dir = _index_dir_for(sf_dir) + "_ivf"
+    if os.path.exists(os.path.join(ivf_dir, "centroids.npy")):
+        ix = load_ivf(ivf_dir)
+    else:
+        ix = build_ivf(rd.read_parquet(emb_path), ivf_dir, n_centroids=16, seed=5)
+    tbl = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    qv = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    res = ivf_topk(ix, qv, 10, nprobe=4)[0]
+    return pd.DataFrame(
+        [{"rank": r, "vec_id": v, "score": round(s, 4)} for r, (v, s) in enumerate(res)],
+        columns=["rank", "vec_id", "score"],
+    )
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -507,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_like_select": _q_sql_like_select,
         "minhash_pairs": _q_minhash_pairs,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -157,6 +157,9 @@ def run_bench() -> dict:
             runs_t.append(time.perf_counter() - t0)
         lat_dense_t.append(statistics.median(runs_t))
 
+    # -- IVF ANN recall/latency vs brute force ------------------------------
+    ivf_stats = _bench_ivf()
+
     result = {
         "metric": "pages index build wall time (ingest+tokenize+shuffle+segments+stats)",
         "value": round(t_build_pages, 3),
@@ -175,9 +178,67 @@ def run_bench() -> dict:
         "bm25_sel_wand_p50_ms": round(1000 * statistics.median(lat_sel_w), 3),
         "bm25_sel_taat_p50_ms": round(1000 * statistics.median(lat_sel_t), 3),
         "tfidf_p50_ms": round(1000 * statistics.median(lat_tfidf), 3),
+        "ivf": ivf_stats,
     }
     ray.shutdown()
     return result
+
+
+def _bench_ivf(n_vecs: int = 200_000, dim: int = 64, n_queries: int = 8) -> dict:
+    """IVF ANN vs brute force: recall@10 and latency per nprobe on a
+    deterministic synthetic embedding table (clustered + noise)."""
+    import shutil
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyfuseray.extras.ivf import build_ivf, ivf_topk
+    from pyfuseray.extras.knn import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    n_clusters = 256
+    centers = rng.standard_normal((n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n_vecs)
+    mat = (centers[assign] + 0.95 * rng.standard_normal((n_vecs, dim))).astype(
+        np.float32
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(32)
+    queries = mat[:n_queries].astype(np.float64)
+
+    ivf_dir = "/tmp/pyfuseray_bench_ivf"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ix = build_ivf(ds, ivf_dir, n_centroids=64, sample_fraction=0.1, seed=5)
+    build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    exact = brute_force_topk(ds, queries, 10)
+    brute_s = time.perf_counter() - t0
+
+    out: dict = {
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "n_centroids": 64,
+        "build_sec": round(build_s, 3),
+        "brute_sec_per_query": round(brute_s / n_queries, 4),
+    }
+    for nprobe in (1, 4, 8):
+        t0 = time.perf_counter()
+        approx = ivf_topk(ix, queries, 10, nprobe=nprobe)
+        sec = time.perf_counter() - t0
+        recall = statistics.mean(
+            len({v for v, _ in e} & {v for v, _ in a}) / 10
+            for e, a in zip(exact, approx)
+        )
+        out[f"nprobe{nprobe}_recall_at10"] = round(recall, 3)
+        out[f"nprobe{nprobe}_sec_per_query"] = round(sec / n_queries, 4)
+    return out
 
 
 def run_scaling() -> dict:

@@ -350,6 +350,68 @@ def test_simhash64_golden_values():
         assert simhash64(t) == reference(t), t
 
 
+# -- IVF ANN -----------------------------------------------------------------
+
+def test_ivf_consistency_and_recall(tmp_path):
+    """The IVF backend mirrors the reference's cross-implementation
+    consistency test (Sequential vs RTree, app/tests/image_knn_test.py:
+    47-80): probing ALL centroids must equal brute force exactly, and a
+    sub-linear nprobe keeps high recall on clustered data."""
+    from pyfuseray.extras.ivf import build_ivf, ivf_topk, load_ivf
+
+    ds, vecs = _emb_ds(n=400, dim=16, seed=21)
+    ix = build_ivf(ds, str(tmp_path / "ivf"), n_centroids=16, seed=5)
+    queries = vecs[:8]
+    exact = brute_force_topk(ds, queries, 10)
+    # nprobe = n_centroids degrades gracefully to exact search
+    full = ivf_topk(ix, queries, 10, nprobe=16)
+    for e, f in zip(exact, full):
+        assert [v for v, _ in e] == [v for v, _ in f]
+        for (_, s1), (_, s2) in zip(e, f):
+            # brute_force_topk scores in float32, IVF in float64
+            assert abs(s1 - s2) < 1e-6
+    # sub-linear probing keeps most true neighbors and always finds self
+    approx = ivf_topk(ix, queries, 10, nprobe=4)
+    recalls = [
+        len({v for v, _ in e} & {v for v, _ in a}) / 10
+        for e, a in zip(exact, approx)
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+    for j, a in enumerate(approx):
+        assert a[0][0] == j  # self is nearest and in the probed partition
+    # reload from disk gives identical answers
+    ix2 = load_ivf(str(tmp_path / "ivf"))
+    again = ivf_topk(ix2, queries, 10, nprobe=4)
+    assert again == approx
+
+
+def test_ivf_prunes_partitions(tmp_path):
+    """Sub-linear claim: an nprobe search must open only the probed
+    centroid partitions, not the whole inverted file."""
+    from pyfuseray.extras.ivf import build_ivf, ivf_topk
+
+    ds, vecs = _emb_ds(n=300, dim=8, seed=33)
+    ix = build_ivf(ds, str(tmp_path / "ivf"), n_centroids=12, seed=3)
+    seen: list[int] = []
+    orig = rd.read_parquet
+
+    def spy(path, *a, **k):
+        out = orig(path, *a, **k)
+        p0 = path[0] if isinstance(path, list) and path else path
+        if str(p0).startswith(ix.data_dir):
+            seen.append(out.count())
+        return out
+
+    import pyfuseray.extras.ivf as ivf_mod
+
+    try:
+        ivf_mod.rd.read_parquet = spy
+        ivf_topk(ix, vecs[0], 10, nprobe=2)
+    finally:
+        ivf_mod.rd.read_parquet = orig
+    assert seen and seen[0] < 300  # strictly fewer rows than the corpus
+
+
 # -- textstats ---------------------------------------------------------------
 
 def test_token_counts():
