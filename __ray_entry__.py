@@ -105,6 +105,10 @@ def _q_token_counts(sf_dir: str):
 
 
 def _q_df_unstemmed(sf_dir: str):
+    """Oracle-parity helper, NOT the production path: the per-row token
+    loop below exists to mirror the DuckDB SQL exactly at sf0.01 scale.
+    The real engine computes df from the merged segments
+    (pyfuseray.stats.df_dataset) without touching raw tokens."""
     from pyfuseray.extras.textstats import simple_tokens
     from ray.data.aggregate import Count
 
@@ -124,6 +128,9 @@ def _q_df_unstemmed(sf_dir: str):
 
 
 def _q_postings_unstemmed(sf_dir: str):
+    """Oracle-parity helper, NOT the production path (see
+    _q_df_unstemmed): the engine's posting construction is the
+    vectorized SPIMI encode in pyfuseray.postings.encode_runs."""
     from collections import Counter
 
     from pyfuseray.extras.textstats import simple_tokens
@@ -283,6 +290,9 @@ def _q_tfidf_topk_unstemmed(sf_dir: str):
 
     Same formula as the engine (w = (1+log10(tf)) * log10(N/df), cosine
     normalized by document and query norms, tie-break (-score, doc_id)).
+    Oracle-parity helper, NOT the production path: it materializes the
+    sf0.01 postings driver-side purely to mirror the SQL; the engine's
+    ranking path is the indexed IndexSearcher.search_tfidf / bulk_search.
     """
     from collections import Counter
 

@@ -95,6 +95,12 @@ def docstats_dataset(segments: rd.Dataset, n_docs: int) -> rd.Dataset:
         )
 
     def bucket_stats(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        if len(group.get("doc_id", ())) == 0:
+            # dtype-stable empty block (anything else trips Ray's
+            # RefBundle schema-mismatch warning downstream)
+            return {"doc_id": np.empty(0, np.int64),
+                    "dl": np.empty(0, np.int64),
+                    "norm": np.empty(0, np.float64)}
         doc = group["doc_id"].astype(np.int64)
         dl = group["dl"].astype(np.int64)
         w2 = group["w2"].astype(np.float64)
