@@ -494,6 +494,26 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_pca_reduced(sf_dir: str):
+    """Fit-on-sample PCA + broadcast transform (reference MultiDim
+    dimensionality-reduce, app/MultiDim.py:226-246) over the embeddings
+    table; returns per-vector reduced-space norms (deterministic)."""
+    import ray.data as rd
+
+    from pyfuseray.extras.dimred import fit_pca, pca_transform
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    model = fit_pca(ds, 8, sample_fraction=0.5, seed=17)
+    out = pca_transform(ds, model).to_pandas().sort_values("vec_id")
+    return pd.DataFrame(
+        {
+            "vec_id": out["vec_id"].to_numpy(),
+            "dim": [len(v) for v in out["reduced"]],
+            "norm": [round(float(np.linalg.norm(v)), 4) for v in out["reduced"]],
+        }
+    ).reset_index(drop=True)
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -541,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "pca_reduced": _q_pca_reduced,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -412,6 +412,42 @@ def test_ivf_prunes_partitions(tmp_path):
     assert seen and seen[0] < 300  # strictly fewer rows than the corpus
 
 
+# -- dimensionality reduction ------------------------------------------------
+
+def test_pca_fit_sample_broadcast_transform():
+    """M14 (fit-on-sample + broadcast-transform): PCA fit on a seeded
+    sample must capture a planted low-rank structure, and the
+    distributed transform must equal the driver-side numpy projection
+    exactly."""
+    from pyfuseray.extras.dimred import fit_pca, pca_transform
+
+    rng = np.random.default_rng(3)
+    basis = rng.standard_normal((3, 20))
+    coeff = rng.standard_normal((400, 3))
+    mat = coeff @ basis + 0.01 * rng.standard_normal((400, 20))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    model = fit_pca(ds, 3, sample_fraction=0.5, seed=9)
+    out = pca_transform(ds, model).to_pandas().sort_values("vec_id")
+    red = np.asarray(out["reduced"].tolist())
+    assert red.shape == (400, 3)
+    # distributed == driver-side projection, exactly
+    want = (mat - model.mean) @ model.components
+    assert np.allclose(red, want, atol=0)
+    # planted rank-3 structure: 3 components reconstruct almost all variance
+    recon = want @ model.components.T + model.mean
+    rel_err = np.linalg.norm(mat - recon) / np.linalg.norm(mat)
+    assert rel_err < 0.05
+    # determinism: same seed -> identical model
+    model2 = fit_pca(ds, 3, sample_fraction=0.5, seed=9)
+    assert np.array_equal(model.components, model2.components)
+
+
 # -- textstats ---------------------------------------------------------------
 
 def test_token_counts():
