@@ -432,6 +432,20 @@ def _q_sql_like_select(sf_dir: str):
     return out
 
 
+def _q_bulk_search_bm25(sf_dir: str):
+    """Distributed bulk search: ALL reference queries scored in one
+    streaming pass over the index segments (scatter-gather + per-query
+    top-k). Rank-identical to the interactive searcher — pinned here by
+    construction (rows-only at the driver; rank-identity is pytest
+    tests/test_distributed_query.py)."""
+    from pyfuseray.distributed_query import bulk_search
+
+    ix = _ensure_index(sf_dir)
+    out = bulk_search(ix, REFERENCE_QUERIES + DOC_QUERIES, top_k=10, scoring="bm25")
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def _q_minhash_pairs(sf_dir: str):
     from pyfuseray.extras.dedup import minhash_dedup
 
@@ -558,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_search_tfidf": _q_ft_search_tfidf,
         "ft_search_bm25_wand": _q_ft_search_bm25_wand,
         "sql_like_select": _q_sql_like_select,
+        "bulk_search_bm25": _q_bulk_search_bm25,
         "minhash_pairs": _q_minhash_pairs,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,

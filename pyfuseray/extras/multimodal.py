@@ -99,17 +99,131 @@ def extract_features(
     )
 
 
-def synth_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for tests."""
+def decode_audio(payload: bytes, *, fake: bool = False,
+                 n_samples: int = 2048) -> np.ndarray:
+    """Decode encoded audio to a float32 waveform.
+
+    STUB like ``decode_image``: real decoding needs an audio library not
+    present here; ``fake=True`` yields a deterministic pseudo-waveform
+    seeded by the payload digest."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library not present in this "
+            "environment; pass fake=True for the deterministic test decoder"
+        )
+    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n_samples)).astype(np.float32)
+
+
+def decode_video_frames(payload: bytes, *, fake: bool = False,
+                        n_frames: int = 16) -> list[np.ndarray]:
+    """Decode encoded video to a list of HxWx3 frames (STUB, see above)."""
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires a codec library not present in this "
+            "environment; pass fake=True for the deterministic test decoder"
+        )
+    base = hashlib.md5(payload or b"").digest()
+    return [decode_image(base + bytes([i]), fake=True) for i in range(n_frames)]
+
+
+class ResizeStage:
+    """Actor-pool stage: decode -> block-average resize -> raw-RGB
+    payload with updated dims. The resize math (vectorized reshape-mean)
+    is real; only the decode kernel is the environment stub."""
+
+    def __init__(self, out_w: int = 4, out_h: int = 4, fake: bool = True):
+        self.out_w, self.out_h, self.fake = out_w, out_h, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload = []
+        for p in batch.column("payload").to_pylist():
+            img = decode_image(p, fake=self.fake).astype(np.float32)
+            h, w, _ = img.shape
+            fy, fx = h // self.out_h, w // self.out_w
+            small = img[: fy * self.out_h, : fx * self.out_w].reshape(
+                self.out_h, fy, self.out_w, fx, 3
+            ).mean(axis=(1, 3))
+            out_payload.append(small.astype(np.uint8).tobytes())
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload": pa.array(out_payload, pa.binary()),
+                "width": pa.array([self.out_w] * n, pa.int32()),
+                "height": pa.array([self.out_h] * n, pa.int32()),
+                "sample_rate": batch.column("sample_rate"),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: one video row -> ``n_frames`` frame rows
+    (media_id, frame_idx, payload) — the flat-map shape for video
+    pipelines (each output row is one decoded-frame payload)."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames, self.fake = n_frames, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            decoded = decode_video_frames(p, fake=self.fake,
+                                          n_frames=self.n_frames)
+            for i, frame in enumerate(decoded):
+                ids.append(mid)
+                fidx.append(i)
+                frames.append(frame.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "payload": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: audio payload -> fixed-dim log-spectrum feature
+    (real numpy rfft; decode kernel stubbed)."""
+
+    def __init__(self, n_bins: int = 32, fake: bool = True):
+        self.n_bins, self.fake = n_bins, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        feats = []
+        for p in batch.column("payload").to_pylist():
+            wave = decode_audio(p, fake=self.fake)
+            spec = np.abs(np.fft.rfft(wave))
+            # average into n_bins log-magnitude bands, l2-normalized
+            usable = spec[: (spec.size // self.n_bins) * self.n_bins]
+            bands = np.log1p(usable.reshape(self.n_bins, -1).mean(axis=1))
+            bands /= max(float(np.linalg.norm(bands)), 1e-30)
+            feats.append(bands.astype(np.float32).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def synth_media(n: int, seed: int = 42, kinds: tuple[str, ...] = ("image",)) -> pa.Table:
+    """Deterministic fake media table for tests (kinds cycle per row)."""
     rng = np.random.default_rng(seed)
     payloads = [rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes() for _ in range(n)]
+    kind_col = [kinds[i % len(kinds)] for i in range(n)]
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),
-            "kind": pa.array(["image"] * n, type=pa.string()),
+            "kind": pa.array(kind_col, type=pa.string()),
             "payload": pa.array(payloads, type=pa.binary()),
             "width": pa.array([8] * n, type=pa.int32()),
             "height": pa.array([8] * n, type=pa.int32()),
-            "sample_rate": pa.array([0] * n, type=pa.int32()),
+            "sample_rate": pa.array([16000] * n, type=pa.int32()),
         }
     )

@@ -491,6 +491,58 @@ def test_decode_stub_raises_without_fake():
         decode_image(b"\x00\x01")
 
 
+def test_multimodal_resize_framesample_audio():
+    """The remaining multimodal stages (resize, video frame-sample,
+    audio features): decode kernels stubbed, plumbing + math real."""
+    import pytest
+
+    from pyfuseray.extras.multimodal import (
+        AudioFeatureStage,
+        FrameSampleStage,
+        ResizeStage,
+        decode_audio,
+        decode_video_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00")
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00")
+
+    media = rd.from_arrow(synth_media(30, kinds=("image", "audio", "video")))
+    resized = media.map_batches(
+        ResizeStage, fn_constructor_kwargs={"out_w": 4, "out_h": 4},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).to_pandas()
+    assert len(resized) == 30
+    assert set(resized["width"]) == {4} and set(resized["height"]) == {4}
+    assert all(len(p) == 4 * 4 * 3 for p in resized["payload"])
+
+    frames = media.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).to_pandas()
+    assert len(frames) == 30 * 4  # flat-map: one row per sampled frame
+    assert sorted(set(frames["frame_idx"])) == [0, 1, 2, 3]
+
+    audio = media.map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"n_bins": 32},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).to_pandas()
+    assert len(audio) == 30
+    assert all(len(v) == 32 for v in audio["feature"])
+    norms = [float(np.linalg.norm(v)) for v in audio["feature"]]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)
+    # deterministic per payload
+    audio2 = media.map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"n_bins": 32},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).to_pandas()
+    a1 = {m: tuple(v) for m, v in zip(audio["media_id"], audio["feature"])}
+    a2 = {m: tuple(v) for m, v in zip(audio2["media_id"], audio2["feature"])}
+    assert a1 == a2
+
+
 def test_multimodal_feature_plumbing():
     media = rd.from_arrow(synth_media(50))
     feats = extract_features(media, concurrency=2, batch_size=16).to_pandas()
