@@ -460,6 +460,38 @@ def _simhash_block_splits(n_blocks: int) -> list[tuple[int, int]]:
     return out
 
 
+def simhash_block_keys(
+    hashes: np.ndarray, n_blocks: int, hamming: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """(combo_id, key) band rows for an array of 64-bit simhashes.
+
+    Pure function (unit-testable without Ray): for every
+    C(n_blocks, n_blocks - hamming) block subset, the key is the
+    concatenation of those blocks' bit fields; two hashes within
+    ``hamming`` distance are GUARANTEED to share at least one
+    (combo_id, key) row (pigeonhole). Returns flat arrays of length
+    n * n_combos, grouped per hash."""
+    from itertools import combinations
+
+    splits = _simhash_block_splits(n_blocks)
+    combos = list(combinations(range(n_blocks), n_blocks - hamming))
+    hs = np.asarray(hashes, dtype=np.uint64)
+    n = hs.size
+    blocks = np.empty((n, n_blocks), dtype=np.uint64)
+    for i, (shift, width) in enumerate(splits):
+        blocks[:, i] = (hs >> np.uint64(shift)) & np.uint64((1 << width) - 1)
+    combo_ids = np.repeat(
+        np.arange(len(combos), dtype=np.int32)[None, :], n, axis=0
+    ).ravel()
+    keys = np.empty((n, len(combos)), dtype=np.uint64)
+    for ci, combo in enumerate(combos):
+        acc = np.zeros(n, dtype=np.uint64)
+        for bi in combo:
+            acc = (acc << np.uint64(splits[bi][1])) | blocks[:, bi]
+        keys[:, ci] = acc
+    return combo_ids, keys.ravel()
+
+
 def add_simhash(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
     """Append ``simhash`` (int64, value shifted by -2^63 for signed
     storage) plus the 4x16-bit band columns used by the small-corpus
@@ -504,39 +536,23 @@ def simhash_candidates(
     docs); n_blocks=8 -> 56 keys of 40 bits. Oversized buckets emit
     capped pairs with overflow markers (``_make_emit_pairs``).
     """
-    from itertools import combinations
-
     if n_blocks is None:
         if n_docs is None:
             n_docs = ds.count()
         n_blocks = 4 if n_docs < 4_000_000 else (6 if n_docs < 1_000_000_000 else 8)
     assert n_blocks > hamming, "need more blocks than the hamming budget"
-    splits = _simhash_block_splits(n_blocks)
-    combos = list(combinations(range(n_blocks), n_blocks - hamming))
 
     def keys_stage(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = ids.size
-        # block values for every doc: (n, n_blocks)
-        blocks = np.empty((n, n_blocks), dtype=np.uint64)
-        for i, (shift, width) in enumerate(splits):
-            blocks[:, i] = (hs >> np.uint64(shift)) & np.uint64((1 << width) - 1)
-        out_combo = np.repeat(
-            np.arange(len(combos), dtype=np.int32)[None, :], n, axis=0
-        ).ravel()
-        keys = np.empty((n, len(combos)), dtype=np.uint64)
-        for ci, combo in enumerate(combos):
-            acc = np.zeros(n, dtype=np.uint64)
-            for bi in combo:
-                acc = (acc << np.uint64(splits[bi][1])) | blocks[:, bi]
-            keys[:, ci] = acc
+        combo, key = simhash_block_keys(hs, n_blocks, hamming)
+        n_combos = combo.size // max(1, ids.size) if ids.size else 0
         return pa.table(
             {
-                "combo": pa.array(out_combo, pa.int32()),
-                "key": pa.array(keys.ravel().view(np.int64), pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, len(combos)), pa.int64()),
+                "combo": pa.array(combo, pa.int32()),
+                "key": pa.array(key.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, n_combos), pa.int64()),
             }
         )
 

@@ -556,3 +556,32 @@ def test_multimodal_feature_plumbing():
     f1 = {m: tuple(v) for m, v in zip(feats["media_id"], feats["feature"])}
     f2 = {m: tuple(v) for m, v in zip(feats2["media_id"], feats2["feature"])}
     assert f1 == f2
+
+
+def test_simhash_banding_pigeonhole_property():
+    """Hypothesis: for any 64-bit hash and any <=3-bit flip, the pair
+    shares at least one (combo, key) under every supported block
+    layout — the pure-math guarantee simhash_candidates relies on."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyfuseray.extras.dedup import simhash_block_keys
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        h=st.integers(min_value=0, max_value=(1 << 64) - 1),
+        flips=st.lists(st.integers(min_value=0, max_value=63), min_size=0,
+                       max_size=3, unique=True),
+        n_blocks=st.sampled_from([4, 6, 8]),
+    )
+    def check(h, flips, n_blocks):
+        h2 = h
+        for b in flips:
+            h2 ^= 1 << b
+        hs = np.array([h, h2], dtype=np.uint64)
+        combo, key = simhash_block_keys(hs, n_blocks, hamming=3)
+        per = combo.size // 2
+        rows_a = set(zip(combo[:per].tolist(), key[:per].tolist()))
+        rows_b = set(zip(combo[per:].tolist(), key[per:].tolist()))
+        assert rows_a & rows_b, (hex(h), flips, n_blocks)
+
+    check()

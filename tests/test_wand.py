@@ -63,3 +63,24 @@ def test_wand_tiny_blocks(tmp_path):
         taat = s.search_bm25(q, 10, algorithm="taat")
         wand = s.search_bm25(q, 10, algorithm="wand")
         assert [d for d, _ in taat] == [d for d, _ in wand], q
+
+
+@pytest.mark.parametrize("block_size", [1, 2, 3, 8])
+def test_wand_fuzz_tiny_blocks_and_ks(tmp_path, block_size):
+    """Edge-case fuzz for the windowed WAND rewrite: degenerate block
+    sizes (1-3 postings/block stress span decode, window advancement
+    and skip bookkeeping), k larger than the corpus, single-term
+    queries, and repeated-term queries must all match TAAT exactly."""
+    out = str(tmp_path / f"ix{block_size}")
+    pages = rd.from_arrow(synth_pages(150, seed=41 + block_size))
+    build_from_pages(pages, out, num_buckets=2, num_salts=2,
+                     block_size=block_size, overwrite=True)
+    s = IndexSearcher(out)
+    queries = QUERIES + ["quick", "webhot webhot quick", "zzzunknown quick"]
+    for q in queries:
+        for k in (1, 7, 1000):
+            taat = s.search_bm25(q, k, algorithm="taat")
+            wand = s.search_bm25(q, k, algorithm="wand")
+            assert [d for d, _ in taat] == [d for d, _ in wand], (q, k)
+            for (_, s1), (_, s2) in zip(taat, wand):
+                assert s1 == s2, (q, k)  # bit-identical float path
