@@ -29,6 +29,33 @@ def _fingerprint(text: str) -> str:
     return hashlib.md5(text.encode("utf-8", errors="replace")).hexdigest()
 
 
+def _utf8_fixed_width(col, width: int | None = None) -> np.ndarray:
+    """Arrow string column -> fixed-width numpy byte array (``S{w}``)
+    via pure buffer math: one cast to large_binary (the raw UTF-8
+    bytes), one vectorized scatter into the padded matrix — no
+    per-element Python encode/len calls (UTF-8 byte order ==
+    code-point order, so sorts/searchsorted stay correct)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=f"S{width or 1}")
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    widths = np.diff(off)
+    w = int(width if width is not None else max(int(widths.max()), 1))
+    if widths.max() > w:
+        raise ValueError(f"element wider ({int(widths.max())}) than requested {w}")
+    padded = np.zeros((n, w), dtype=np.uint8)
+    total = int(off[-1] - off[0])
+    idx_row = np.repeat(np.arange(n, dtype=np.int64), widths)
+    idx_col = np.arange(total, dtype=np.int64) - np.repeat(off[:-1] - off[0], widths)
+    padded[idx_row, idx_col] = data[off[0] : off[-1]]
+    return padded.view(f"S{w}").ravel()
+
+
 def dedup_keep_first(ds: rd.Dataset, key: str = "url", order_col: str = "warc_ts") -> rd.Dataset:
     """Exact dedup by ``key``: keep the row with the smallest
     ``(order_col, md5(text))`` — the deterministic analogue of
@@ -217,65 +244,66 @@ def ingest_pages(
         deduped, n_after = dedup_pages_keep_first(pages, with_count=True)
         return assign_doc_ids(deduped, n_after), n_after
 
-    meta = pages.select_columns(["url", "warc_ts"]).to_pandas()
-    # fixed-width byte arrays: sorting/searchsorted become vectorized C
-    # byte comparisons (UTF-8 byte order == code-point order), and the
-    # broadcast array is zero-copy out of the object store. Encode to
-    # UTF-8 explicitly (numpy .astype('S') encodes via ASCII and crashes
-    # on non-ASCII urls) and size the width in BYTES, not characters.
-    urls_utf8 = [u.encode("utf-8") for u in meta["url"]]
-    url_width = max((len(b) for b in urls_utf8), default=1) or 1
-    urls_b = np.array(urls_utf8, dtype=f"S{url_width}")
-    order = np.lexsort((meta["warc_ts"].to_numpy(), urls_b))
+    # narrow driver collect as ARROW (no per-row Python objects), then
+    # fixed-width byte arrays via buffer math: sorting/searchsorted are
+    # vectorized C byte comparisons and the broadcast array is zero-copy
+    # out of the object store. Widths are UTF-8 BYTES (non-ASCII safe).
+    tables = ray.get(pages.select_columns(["url", "warc_ts"]).to_arrow_refs())
+    meta_tbl = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({"url": pa.array([], pa.string()),
+                       "warc_ts": pa.array([], pa.int64())})
+    )
+    urls_b = _utf8_fixed_width(meta_tbl.column("url"))
+    ts_np = meta_tbl.column("warc_ts").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts_np, urls_b))
     urls_sorted = urls_b[order]
-    ts_sorted = meta["warc_ts"].to_numpy()[order]
+    ts_sorted = ts_np[order]
     first_mask = np.concatenate(([True], urls_sorted[1:] != urls_sorted[:-1]))
     unique_urls = urls_sorted[first_mask]
     n = int(unique_urls.size)
-    dup_any = n != len(meta)
-    winners: dict[str, object] = {}
-    ambiguous: set[str] = set()
-    if dup_any:
-        # winner ts = first ts of each url group; ambiguous if the next
-        # row in the group shares the same ts
-        starts = np.flatnonzero(first_mask)
-        ends = np.concatenate((starts[1:], [len(urls_sorted)]))
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                u = urls_sorted[s].decode()
-                winners[u] = ts_sorted[s]
-                if ts_sorted[s + 1] == ts_sorted[s]:
-                    ambiguous.add(u)
+    # duplicated-url winners, fully vectorized: winner ts = first ts of
+    # each url group; ambiguous if the group's second row ties that ts
+    starts = np.flatnonzero(first_mask)
+    ends = np.concatenate((starts[1:], [urls_sorted.size]))
+    dup_starts = starts[ends - starts > 1]
+    win_urls = urls_sorted[dup_starts]  # sorted (subset of sorted urls)
+    win_ts = ts_sorted[dup_starts]
+    amb_urls = win_urls[ts_sorted[dup_starts + 1] == win_ts] if dup_starts.size else win_urls[:0]
     urls_ref = ray.put(unique_urls)
-    win_ref = ray.put(winners)
-    amb_ref = ray.put(ambiguous)
+    win_ref = ray.put((win_urls, win_ts))
+    amb_ref = ray.put(amb_urls)
+
+    def _keys(batch: pa.Table, width: int) -> np.ndarray:
+        return _utf8_fixed_width(batch.column("url"), width=width)
 
     def assign(batch: pa.Table) -> pa.Table:
         sorted_urls = ray.get(urls_ref)
-        win = ray.get(win_ref)
+        wu, wt = ray.get(win_ref)
         amb = ray.get(amb_ref)
-        urls = batch.column("url").to_pylist()
-        if win or amb:
-            tss = batch.column("warc_ts").to_pylist()
-            mask = []
-            for u, ts in zip(urls, tss):
-                k = win.get(u)
-                if k is None:
-                    mask.append(u not in amb)
-                else:
-                    mask.append(u not in amb and ts == k)
+        keys = _keys(batch, sorted_urls.dtype.itemsize)
+        if wu.size or amb.size:
+            ts = batch.column("warc_ts").to_numpy(zero_copy_only=False)
+            mask = np.ones(keys.size, dtype=bool)
+            if amb.size:
+                mask &= ~np.isin(keys, amb)
+            if wu.size:
+                pos = np.minimum(np.searchsorted(wu, keys), wu.size - 1)
+                is_dup = wu[pos] == keys
+                # duplicated url: survive only with the winner warc_ts
+                mask &= ~is_dup | (ts == wt[pos])
             batch = batch.filter(pa.array(mask))
-            urls = batch.column("url").to_pylist()
-        keys = np.array([u.encode("utf-8") for u in urls], dtype=sorted_urls.dtype)
+            keys = keys[mask]
         doc_ids = np.searchsorted(sorted_urls, keys)
         return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
 
     out = pages.map_batches(assign, batch_format="pyarrow")
-    if ambiguous:
+    if amb_urls.size:
         def only_ambiguous(batch: pa.Table) -> pa.Table:
             amb = ray.get(amb_ref)
-            mask = [u in amb for u in batch.column("url").to_pylist()]
-            return batch.filter(pa.array(mask))
+            keys = _keys(batch, amb.dtype.itemsize if amb.size else 1)
+            return batch.filter(pa.array(np.isin(keys, amb)))
 
         resolved = _dedup_via_groups(
             pages.map_batches(only_ambiguous, batch_format="pyarrow"),
@@ -284,8 +312,7 @@ def ingest_pages(
 
         def assign_ids_only(batch: pa.Table) -> pa.Table:
             sorted_urls = ray.get(urls_ref)
-            urls = batch.column("url").to_pylist()
-            keys = np.array([u.encode("utf-8") for u in urls], dtype=sorted_urls.dtype)
+            keys = _keys(batch, sorted_urls.dtype.itemsize)
             doc_ids = np.searchsorted(sorted_urls, keys)
             return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
 

@@ -37,9 +37,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-
-def _norm_rows(mat: np.ndarray) -> np.ndarray:
-    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+from pyfuseray.extras.knn import _norm_rows
 
 
 def kmeans_fit(

@@ -343,15 +343,15 @@ def embedding_near_dups_lsh(
             }
         )
 
+    from pyfuseray.extras.dedup import _dedup_pairs
+
     sig = embeddings.select_columns([id_col, vec_col]).map_batches(
         signatures, batch_format="pyarrow"
     )
     pairs = sig.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-    deduped = pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-    # normalize pandas map_groups blocks back to arrow for downstream ops
-    return deduped.map_batches(lambda t: t, batch_format="pyarrow")
+    # sticky-overflow dedup (overflow=True wins): a pair found by both a
+    # truncated and an untruncated bucket must keep its marker
+    return _dedup_pairs(pairs)
 
 
 def range_search(
