@@ -38,25 +38,44 @@ def content_fingerprint(text: str) -> str:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+# coarse shuffle-group count for dedup groupbys: the framework sees a
+# BOUNDED number of groups regardless of corpus cardinality (one group
+# per distinct fingerprint/pair would mean one Python call + one
+# DataFrame per distinct doc at web scale); the real per-key work runs
+# vectorized inside each coarse group
+COARSE_DEDUP_GROUPS = 1024
+
+
 def exact_dedup(
     ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> rd.Dataset:
     """Exact near-identity dedup: hash-partition on content fingerprint,
-    keep the row with the smallest id per group. One shuffle keyed on the
-    16-byte fingerprint; survivor choice is deterministic."""
+    keep the row with the smallest id per group. One shuffle keyed on a
+    COARSE bucket of the fingerprint; within each coarse group the
+    per-fingerprint min is one vectorized sort + drop_duplicates, so
+    per-group overhead never scales with corpus cardinality. Survivor
+    choice is deterministic."""
 
     def add_fp(batch: pa.Table) -> pa.Table:
         fps = [content_fingerprint(t) for t in batch.column(text_col).to_pylist()]
-        return batch.append_column("_fp", pa.array(fps, type=pa.string()))
+        cb = np.fromiter(
+            (int(f[:8], 16) % COARSE_DEDUP_GROUPS for f in fps),
+            dtype=np.int64, count=len(fps),
+        )
+        return batch.append_column(
+            "_fp", pa.array(fps, type=pa.string())
+        ).append_column("_cb", pa.array(cb, pa.int64()))
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.loc[[group[id_col].idxmin()]]
+        return group.sort_values(["_fp", id_col]).drop_duplicates(
+            "_fp", keep="first"
+        )
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("_fp")
+        .groupby("_cb")
         .map_groups(keep_min, batch_format="pandas")
-        .drop_columns(["_fp"])
+        .drop_columns(["_fp", "_cb"])
     )
 
 
@@ -140,37 +159,91 @@ def _empty_pairs() -> pd.DataFrame:
     )
 
 
-def _make_emit_pairs(max_bucket: int):
-    """Bucket -> candidate pairs with an explicit overflow marker.
+def _make_emit_pairs(max_bucket: int, key_cols: list[str]):
+    """COARSE group (many LSH buckets) -> candidate pairs with explicit
+    overflow markers.
 
-    A pathological bucket (degenerate band hash, mass-duplicated boilerplate)
-    is truncated to ``max_bucket`` ids so one bucket can never emit O(n^2)
-    of the corpus — but NEVER silently: every pair from a truncated bucket
-    carries overflow=True so downstream (and the caller's logs) see that
-    candidates were dropped there. Pair emission is vectorized."""
+    A pathological bucket (degenerate band hash, mass-duplicated
+    boilerplate) is truncated to ``max_bucket`` ids so one bucket can
+    never emit O(n^2) of the corpus — but NEVER silently: every pair
+    from a truncated bucket carries overflow=True so downstream (and
+    the caller's logs) see that candidates were dropped there.
+
+    One call handles MANY (key_cols) buckets: one lexsort segments the
+    coarse group into buckets, then each bucket's pairs are emitted
+    with one ``np.triu_indices`` — per-bucket framework overhead never
+    scales with bucket count."""
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        overflow = ids.size > max_bucket
-        if overflow:
-            ids = ids[:max_bucket]
-        if ids.size < 2:
+        ids = group["doc_id"].to_numpy()
+        keys = [group[c].to_numpy() for c in key_cols]
+        order = np.lexsort((ids, *reversed(keys)))
+        ids_s = ids[order]
+        keys_s = [k[order] for k in keys]
+        change = np.zeros(ids_s.size, dtype=bool)
+        if ids_s.size:
+            change[0] = True
+        for k in keys_s:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.concatenate((starts[1:], [ids_s.size]))
+        out_a, out_b, out_o = [], [], []
+        for s, e in zip(starts, ends):
+            seg = ids_s[s:e]
+            bucket_ids = seg[np.concatenate(([True], seg[1:] != seg[:-1]))]
+            overflow = bucket_ids.size > max_bucket
+            if overflow:
+                bucket_ids = bucket_ids[:max_bucket]
+            if bucket_ids.size < 2:
+                continue
+            ii, jj = np.triu_indices(bucket_ids.size, k=1)
+            out_a.append(bucket_ids[ii])
+            out_b.append(bucket_ids[jj])
+            out_o.append(np.full(ii.size, overflow))
+        if not out_a:
             return _empty_pairs()
-        ii, jj = np.triu_indices(ids.size, k=1)
         return pd.DataFrame(
-            {"a": ids[ii], "b": ids[jj], "overflow": np.full(ii.size, overflow)}
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "overflow": np.concatenate(out_o),
+            }
         )
 
     return emit_pairs
 
 
-def _dedup_pairs(pairs: rd.Dataset) -> rd.Dataset:
-    """One row per (a, b); overflow is sticky (True wins)."""
-    out = pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.sort_values("overflow", ascending=False).head(1),
-        batch_format="pandas",
+def _coarse_pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return ((a.astype(np.uint64) * np.uint64(1000003)) ^ b.astype(np.uint64)) % np.uint64(
+        COARSE_DEDUP_GROUPS
     )
-    return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _dedup_pairs(pairs: rd.Dataset) -> rd.Dataset:
+    """One row per (a, b); overflow is sticky (True wins). Shuffled on a
+    coarse pair-hash bucket; the per-pair dedup inside each group is one
+    vectorized sort + drop_duplicates."""
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        cb = _coarse_pair_bucket(
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False),
+        )
+        return batch.append_column("_cb", pa.array(cb.astype(np.int64), pa.int64()))
+
+    def dd(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["a", "b", "overflow"], ascending=[True, True, False]
+        ).drop_duplicates(["a", "b"], keep="first")
+
+    out = (
+        pairs.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(dd, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["_cb"]), batch_format="pyarrow"
+    )
 
 
 def minhash_candidate_pairs(
@@ -194,8 +267,20 @@ def minhash_candidate_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        _make_emit_pairs(max_bucket), batch_format="pandas"
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        h = batch.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bd = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cb = (h * np.uint64(31) + bd) % np.uint64(COARSE_DEDUP_GROUPS)
+        return batch.append_column("_cb", pa.array(cb.astype(np.int64), pa.int64()))
+
+    pairs = (
+        bands_ds.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(
+            _make_emit_pairs(max_bucket, ["band_id", "band_hash"]),
+            batch_format="pandas",
+        )
     )
     return _dedup_pairs(pairs)
 
@@ -556,10 +641,20 @@ def simhash_candidates(
             }
         )
 
+    def add_cb(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+        c = batch.column("combo").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cb = (k * np.uint64(31) + c) % np.uint64(COARSE_DEDUP_GROUPS)
+        return batch.append_column("_cb", pa.array(cb.astype(np.int64), pa.int64()))
+
     keyed = ds.select_columns(["doc_id", "text"]).map_batches(
         keys_stage, batch_format="pyarrow"
     )
-    pairs = keyed.groupby(["combo", "key"]).map_groups(
-        _make_emit_pairs(max_bucket), batch_format="pandas"
+    pairs = (
+        keyed.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(
+            _make_emit_pairs(max_bucket, ["combo", "key"]), batch_format="pandas"
+        )
     )
     return _dedup_pairs(pairs)

@@ -306,49 +306,68 @@ def embedding_near_dups_lsh(
         bands = np.repeat(np.arange(n_bands, dtype=np.int32)[None, :], n, axis=0)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+        flat_bands = bands.ravel()
+        flat_keys = keys.ravel()
+        # coarse shuffle bucket: bounded group count regardless of how
+        # many (band, key) LSH buckets exist (see dedup.COARSE_DEDUP_GROUPS)
+        cb = (
+            flat_keys.astype(np.uint64) * np.uint64(31)
+            + flat_bands.astype(np.uint64)
+        ) % np.uint64(1024)
         return pa.table(
             {
-                "band": pa.array(bands.ravel(), pa.int32()),
-                "key": pa.array(keys.ravel(), pa.int64()),
+                "band": pa.array(flat_bands, pa.int32()),
+                "key": pa.array(flat_keys, pa.int64()),
+                "_cb": pa.array(cb.astype(np.int64), pa.int64()),
                 id_col: pa.array(np.repeat(ids, n_bands), pa.int64()),
                 vec_col: pa.compute.take(batch.column(vec_col), rep),
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        overflow = ids.size > max_bucket
-        if overflow:
-            ids = ids[:max_bucket]
-            order = order[:max_bucket]
-        if ids.size < 2:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                 "score": pd.Series(dtype="float64"),
-                 "overflow": pd.Series(dtype="bool")}
+    def bucket_pairs(coarse: pd.DataFrame) -> pd.DataFrame:
+        """One COARSE group = many (band, key) buckets; per-bucket exact
+        cosine verify, capped with overflow markers."""
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "overflow": pd.Series(dtype="bool")}
+        )
+        parts = []
+        for _, group in coarse.groupby(["band", "key"], sort=False):
+            ids = group[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            overflow = ids.size > max_bucket
+            if overflow:
+                ids = ids[:max_bucket]
+                order = order[:max_bucket]
+            if ids.size < 2:
+                continue
+            vecs = _norm_rows(
+                np.asarray(group[vec_col].to_numpy()[order].tolist(), dtype=np.float64)
             )
-        vecs = _norm_rows(
-            np.asarray(group[vec_col].to_numpy()[order].tolist(), dtype=np.float64)
-        )
-        sims = vecs @ vecs.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {
-                "a": ids[ii],
-                "b": ids[jj],
-                "score": np.round(sims[ii, jj], 6),
-                "overflow": np.full(ii.size, overflow),
-            }
-        )
+            sims = vecs @ vecs.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if ii.size == 0:
+                continue
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "a": ids[ii],
+                        "b": ids[jj],
+                        "score": np.round(sims[ii, jj], 6),
+                        "overflow": np.full(ii.size, overflow),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     from pyfuseray.extras.dedup import _dedup_pairs
 
     sig = embeddings.select_columns([id_col, vec_col]).map_batches(
         signatures, batch_format="pyarrow"
     )
-    pairs = sig.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = sig.groupby("_cb").map_groups(bucket_pairs, batch_format="pandas")
     # sticky-overflow dedup (overflow=True wins): a pair found by both a
     # truncated and an untruncated bucket must keep its marker
     return _dedup_pairs(pairs)
