@@ -160,6 +160,11 @@ def run_bench() -> dict:
     # -- IVF ANN recall/latency vs brute force ------------------------------
     ivf_stats = _bench_ivf()
 
+    # -- dedup family throughput over the bench corpus ----------------------
+    dedup_stats = _bench_dedup(
+        os.path.join(f"/tmp/pyfuseray_bench_corpus_{num_cpus}", "corpus")
+    )
+
     result = {
         "metric": "pages index build wall time (ingest+tokenize+shuffle+segments+stats)",
         "value": round(t_build_pages, 3),
@@ -179,6 +184,7 @@ def run_bench() -> dict:
         "bm25_sel_taat_p50_ms": round(1000 * statistics.median(lat_sel_t), 3),
         "tfidf_p50_ms": round(1000 * statistics.median(lat_tfidf), 3),
         "ivf": ivf_stats,
+        "dedup": dedup_stats,
     }
     ray.shutdown()
     return result
@@ -238,6 +244,34 @@ def _bench_ivf(n_vecs: int = 200_000, dim: int = 64, n_queries: int = 8) -> dict
         )
         out[f"nprobe{nprobe}_recall_at10"] = round(recall, 3)
         out[f"nprobe{nprobe}_sec_per_query"] = round(sec / n_queries, 4)
+    return out
+
+
+def _bench_dedup(corpus_dir: str) -> dict:
+    """Dedup-family throughput (docs/s) over the bench corpus: exact
+    fingerprint dedup, MinHash-LSH candidates, SimHash banding."""
+    import ray.data as rd
+
+    from pyfuseray.extras.dedup import (
+        exact_dedup,
+        minhash_candidate_pairs,
+        simhash_candidates,
+    )
+
+    def corpus():
+        return rd.read_parquet(corpus_dir, columns=["doc_id", "text"])
+
+    n = corpus().count()
+    out: dict = {"n_docs": n}
+    t0 = time.perf_counter()
+    out["exact_survivors"] = exact_dedup(corpus()).count()
+    out["exact_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    out["minhash_candidates"] = minhash_candidate_pairs(corpus()).count()
+    out["minhash_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    out["simhash_candidates"] = simhash_candidates(corpus(), n_docs=n).count()
+    out["simhash_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
     return out
 
 

@@ -84,19 +84,30 @@ def dedup_keep_first(ds: rd.Dataset, key: str = "url", order_col: str = "warc_ts
         lambda t: t.filter(pc.greater(t.column("_n"), 1)).select([key]),
         batch_format="pyarrow",
     )
-    dup_keys = {r[key] for r in dups_only.iter_rows()}
-    if not dup_keys:
+    dup_tables = ray.get(dups_only.to_arrow_refs())
+    dup_keys = (
+        np.sort(
+            _utf8_fixed_width(pa.concat_tables(dup_tables).column(key))
+        )
+        if dup_tables and sum(t.num_rows for t in dup_tables)
+        else np.empty(0, dtype="S1")
+    )
+    if not dup_keys.size:
         return ds
     dup_ref = ray.put(dup_keys)
 
     def split_uniques(batch: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
-        mask = [k not in dups for k in batch.column(key).to_pylist()]
+        keys = _utf8_fixed_width(batch.column(key), width=None)
+        w = max(dups.dtype.itemsize, keys.dtype.itemsize)
+        mask = ~np.isin(keys.astype(f"S{w}"), dups.astype(f"S{w}"))
         return batch.filter(pa.array(mask))
 
     def split_dups(batch: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
-        mask = [k in dups for k in batch.column(key).to_pylist()]
+        keys = _utf8_fixed_width(batch.column(key), width=None)
+        w = max(dups.dtype.itemsize, keys.dtype.itemsize)
+        mask = np.isin(keys.astype(f"S{w}"), dups.astype(f"S{w}"))
         return batch.filter(pa.array(mask))
 
     uniques = ds.map_batches(split_uniques, batch_format="pyarrow")
@@ -136,67 +147,81 @@ def dedup_pages_keep_first(
         lambda t: t.filter(pc.greater(t.column("_n"), 1)).select(["url", "_n"]),
         batch_format="pyarrow",
     )
-    dup_counts = {r["url"]: r["_n"] for r in dups_only.iter_rows()}
-    dup_keys = set(dup_counts)
+    dup_tables = [t for t in ray.get(dups_only.to_arrow_refs()) if t.num_rows]
+    if not dup_tables:
+        n_after = pages.count() if with_count else None
+        return (pages, n_after) if with_count else pages
+    dup_tbl = pa.concat_tables(dup_tables)
+    dup_keys = np.sort(_utf8_fixed_width(dup_tbl.column("url")))
+    dup_ns = dup_tbl.column("_n").to_numpy(zero_copy_only=False)
     # rows surviving dedup, known WITHOUT executing the main pass: every
     # duplicated url keeps exactly one copy
     n_after = None
     if with_count:
-        n_after = pages.count() - sum(n - 1 for n in dup_counts.values())
-    if not dup_keys:
-        return (pages, n_after) if with_count else pages
+        n_after = pages.count() - int((dup_ns - 1).sum())
     dup_ref = ray.put(dup_keys)
+    url_w = dup_keys.dtype.itemsize
+
+    def _batch_keys(batch: pa.Table, w: int) -> np.ndarray:
+        keys = _utf8_fixed_width(batch.column("url"))
+        w = max(w, keys.dtype.itemsize)
+        return keys.astype(f"S{w}"), w
 
     def dup_meta(batch: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
-        mask = [u in dups for u in batch.column("url").to_pylist()]
-        sub = batch.filter(pa.array(mask))
+        keys, w = _batch_keys(batch, dups.dtype.itemsize)
+        sub = batch.filter(pa.array(np.isin(keys, dups.astype(f"S{w}"))))
         return pa.table({"url": sub.column("url"), "warc_ts": sub.column("warc_ts")})
 
     # winner = min warc_ts per dup url; the meta pass reads only
-    # (url, warc_ts) — never the heavy text/html columns
-    meta = (
-        pages.select_columns(["url", "warc_ts"])
-        .map_batches(dup_meta, batch_format="pyarrow")
-        .to_pandas()
-    )
-    winners: dict[str, object] = {}
-    multiplicity: dict[str, int] = {}
-    for url, ts in zip(meta["url"], meta["warc_ts"]):
-        cur = winners.get(url)
-        if cur is None or ts < cur:
-            winners[url] = ts
-            multiplicity[url] = 1
-        elif ts == cur:
-            multiplicity[url] += 1
-    # urls tied on warc_ts fall back to the per-group path, which breaks
-    # the tie deterministically on md5(text)
-    ambiguous = {u for u, n in multiplicity.items() if n > 1}
-    win_ref = ray.put(winners)
-    amb_ref = ray.put(ambiguous)
+    # (url, warc_ts) of the DUP rows — never the heavy text/html columns
+    meta_tables = [
+        t
+        for t in ray.get(
+            pages.select_columns(["url", "warc_ts"])
+            .map_batches(dup_meta, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    meta_tbl = pa.concat_tables(meta_tables)
+    m_urls = _utf8_fixed_width(meta_tbl.column("url"), width=url_w)
+    m_ts = meta_tbl.column("warc_ts").to_numpy(zero_copy_only=False)
+    order = np.lexsort((m_ts, m_urls))
+    mu, mt = m_urls[order], m_ts[order]
+    first = np.concatenate(([True], mu[1:] != mu[:-1]))
+    starts = np.flatnonzero(first)
+    win_urls = mu[starts]  # sorted
+    win_ts = mt[starts]
+    # urls whose group's SECOND row ties the winner ts fall back to the
+    # per-group path (deterministic md5(text) tie-break)
+    second = np.minimum(starts + 1, mu.size - 1)
+    amb_urls = win_urls[(mt[second] == win_ts) & (second > starts)]
+    win_ref = ray.put((win_urls, win_ts))
+    amb_ref = ray.put(amb_urls)
 
     def keep_winners(batch: pa.Table) -> pa.Table:
-        win = ray.get(win_ref)
+        wu, wt = ray.get(win_ref)
         amb = ray.get(amb_ref)
-        urls = batch.column("url").to_pylist()
-        tss = batch.column("warc_ts").to_pylist()
-        mask = []
-        for u, ts in zip(urls, tss):
-            k = win.get(u)
-            if k is None:
-                mask.append(u not in amb)
-            else:
-                mask.append(u not in amb and ts == k)
+        keys, w = _batch_keys(batch, wu.dtype.itemsize)
+        ts = batch.column("warc_ts").to_numpy(zero_copy_only=False)
+        mask = np.ones(keys.size, dtype=bool)
+        if amb.size:
+            mask &= ~np.isin(keys, amb.astype(f"S{w}"))
+        wuc = wu.astype(f"S{w}")
+        pos = np.minimum(np.searchsorted(wuc, keys), wuc.size - 1)
+        is_dup = wuc[pos] == keys
+        mask &= ~is_dup | (ts == wt[pos])
         return batch.filter(pa.array(mask))
 
     deduped = pages.map_batches(keep_winners, batch_format="pyarrow")
-    if not ambiguous:
+    if not amb_urls.size:
         return (deduped, n_after) if with_count else deduped
 
     def only_ambiguous(batch: pa.Table) -> pa.Table:
         amb = ray.get(amb_ref)
-        mask = [u in amb for u in batch.column("url").to_pylist()]
-        return batch.filter(pa.array(mask))
+        keys, w = _batch_keys(batch, amb.dtype.itemsize)
+        return batch.filter(pa.array(np.isin(keys, amb.astype(f"S{w}"))))
 
     resolved = _dedup_via_groups(
         pages.map_batches(only_ambiguous, batch_format="pyarrow"), "url", "warc_ts"

@@ -152,6 +152,39 @@ def test_ingest_routes_agree():
     assert a.equals(b)
 
 
+def test_ingest_routes_agree_on_warc_ts_ties():
+    """Duplicate urls TIED on warc_ts resolve via the md5(text)
+    tie-break on BOTH ingest routes, with identical winners."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from pyfuseray.docids import ingest_pages
+
+    tbl = pa.table(
+        {
+            "url": ["http://e/a", "http://e/a", "http://e/a",
+                    "http://e/b", "http://e/c", "http://e/c"],
+            "warc_ts": [5, 5, 9, 1, 3, 3],
+            "html": [b""] * 6,
+            "text": ["zz tie loser", "aa tie winner", "later row",
+                     "only b", "c first", "c second"],
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    bc, n1 = ingest_pages(ds)
+    dist, n2 = ingest_pages(ds, broadcast_threshold=2)  # force distributed
+    assert n1 == n2 == 3
+    cols = ["doc_id", "url", "warc_ts", "text"]
+    a = bc.to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    b = dist.to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # winner for the tied url is min (warc_ts, md5(text))
+    tie_rows = ["zz tie loser", "aa tie winner"]
+    want = min(tie_rows, key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert a[a["url"] == "http://e/a"]["text"].tolist() == [want]
+
+
 def test_extreme_hot_term_with_salting(tmp_path):
     """Skew stress: a term in ~95% of docs, salted into 4 doc-range
     splits, must still merge to the exact posting list and rank
