@@ -206,3 +206,55 @@ def ivf_topk(
         )
         results.append([(int(v), float(s)) for s, v in best])
     return results
+
+
+def ivf_range_search(
+    index: IVFIndex,
+    query: np.ndarray,
+    radius: float,
+    *,
+    nprobe: int = 4,
+) -> list[tuple[int, float]]:
+    """Euclidean range search probing only the nprobe closest centroid
+    partitions (the IVF analogue of ``knn.range_search``; with
+    nprobe = n_centroids it reads everything and equals the exhaustive
+    scan exactly — the reference's Sequential-vs-RTree equal-range-count
+    consistency check, ``app/tests/image_knn_test.py:47-63``)."""
+    import glob
+
+    qv = np.asarray(query, dtype=np.float64).ravel()
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+    nprobe = min(nprobe, index.n_centroids)
+    probes = np.argsort(-(index.centroids @ qn))[:nprobe]
+    files = [
+        f
+        for c in sorted(int(x) for x in probes)
+        for f in sorted(
+            glob.glob(os.path.join(index.data_dir, f"centroid_id={c}", "*.parquet"))
+        )
+    ]
+    if not files:
+        return []
+    q_ref = ray.put(qv)
+    id_col, vec_col = index.id_col, index.vec_col
+
+    def within(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        d = np.linalg.norm(vecs - q[None, :], axis=1)
+        mask = d <= radius
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[mask], pa.int64()),
+                "dist": pa.array(d[mask], pa.float64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(files)
+        .map_batches(within, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["dist", "vec_id"])
+    )
+    return [(int(v), float(d)) for v, d in zip(out["vec_id"], out["dist"])]

@@ -385,6 +385,29 @@ def test_ivf_consistency_and_recall(tmp_path):
     assert again == approx
 
 
+def test_ivf_range_consistency(tmp_path):
+    """Range-search cross-implementation consistency (the reference's
+    Sequential-vs-RTree equal-range-count test): probing ALL centroids
+    must return exactly the exhaustive scan's result set; sub-linear
+    probing returns a subset."""
+    from pyfuseray.extras.ivf import build_ivf, ivf_range_search
+
+    ds, vecs = _emb_ds(n=250, dim=8, seed=29)
+    ix = build_ivf(ds, str(tmp_path / "ivf"), n_centroids=10, seed=7)
+    q = vecs[3]
+    for radius in (1.5, 3.0, 5.0):
+        exhaustive = range_search(ds, q, radius)
+        full = ivf_range_search(ix, q, radius, nprobe=10)
+        assert [v for v, _ in full] == [v for v, _ in exhaustive], radius
+        for (_, d1), (_, d2) in zip(full, exhaustive):
+            assert abs(d1 - d2) < 1e-5
+        probed = ivf_range_search(ix, q, radius, nprobe=2)
+        assert {v for v, _ in probed} <= {v for v, _ in exhaustive}
+    # the query's own vector is always in the nearest probed partition
+    hit = ivf_range_search(ix, vecs[3], 1e-5, nprobe=1)
+    assert hit and hit[0][0] == 3
+
+
 def test_ivf_prunes_partitions(tmp_path):
     """Sub-linear claim: an nprobe search must open only the probed
     centroid partitions, not the whole inverted file."""

@@ -108,6 +108,26 @@ def test_resume_config_mismatch_raises(tmp_path):
     assert m.block_size == 8
 
 
+def test_stale_format_version_rejected(tmp_path):
+    """A manifest from an older FORMAT_VERSION must NOT be served (the
+    searcher would silently return wrong/empty results from a stale
+    layout): load_manifest ignores it and IndexSearcher refuses."""
+    import pytest
+
+    out = str(tmp_path / "ix")
+    build_index(_corpus(), out, num_buckets=2, overwrite=True)
+    m = json.load(open(manifest_path(out)))
+    m["version"] = m["version"] - 1
+    json.dump(m, open(manifest_path(out), "w"))
+    assert load_manifest(out) is None
+    with pytest.raises(FileNotFoundError):
+        IndexSearcher(out)
+    # a rebuild over the stale dir recovers cleanly
+    m2 = build_index(_corpus(), out, num_buckets=2)
+    assert m2.stage_done("done")
+    assert IndexSearcher(out).search_tfidf(PANGRAM_QUERIES[0], 3)
+
+
 def test_rerun_content_identical(tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     build_index(_corpus(), a, num_buckets=4, num_salts=2, overwrite=True)
