@@ -279,8 +279,9 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # scaling runs use a corpus big enough that compute + shuffle
-        # dominate the fixed pipeline overheads at both CPU counts
-        env.setdefault("PYFUSERAY_BENCH_DOCS", "160000")
+        # dominate the single node's fixed disk/driver overheads at both
+        # CPU counts (the N vs 4N cluster proxy; ~12 min total)
+        env.setdefault("PYFUSERAY_BENCH_DOCS", "1200000")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,

@@ -119,11 +119,12 @@ def encode_runs(
     run_df = run_ends - run_starts
     run_cf = np.add.reduceat(tfs_s, run_starts)
     run_byte_start = value_byte_start[run_starts]
-    run_byte_end = np.concatenate((run_byte_start[1:], [len(blob_all)]))
 
-    mv = memoryview(blob_all)
+    # only the term strings + bucket memo need a Python loop; every list/
+    # binary column is built from the global per-block arrays via arrow
+    # offset construction (zero per-run list building, zero blob copies —
+    # the blob column shares blob_all's buffer)
     out_terms, out_bucket = [], np.empty(run_starts.size, dtype=np.int32)
-    blobs, l_last, l_maxtf, l_mindl, l_off = [], [], [], [], []
     for r in range(run_starts.size):
         t = codes[inv_s[run_starts[r]]]
         out_terms.append(t)
@@ -132,13 +133,16 @@ def encode_runs(
             b = zlib.crc32(t.encode("utf-8")) % num_buckets
             bucket_memo[t] = b
         out_bucket[r] = b
-        lo, hi = blk_bounds[r], blk_bounds[r + 1]
-        base = run_byte_start[r]
-        blobs.append(bytes(mv[base : run_byte_end[r]]))
-        l_last.append(blk_last[lo:hi].tolist())
-        l_maxtf.append(blk_maxtf[lo:hi].tolist())
-        l_mindl.append(blk_mindl[lo:hi].tolist())
-        l_off.append((blk_offsets[lo:hi] - base).tolist())
+    blk_off32 = pa.array(blk_bounds.astype(np.int32), pa.int32())
+
+    def _list(values: np.ndarray) -> pa.ListArray:
+        return pa.ListArray.from_arrays(blk_off32, pa.array(values, pa.int64()))
+
+    blob_offsets = np.concatenate((run_byte_start, [len(blob_all)])).astype(np.int32)
+    blob_arr = pa.Array.from_buffers(
+        pa.binary(), run_starts.size,
+        [None, pa.py_buffer(blob_offsets.tobytes()), pa.py_buffer(blob_all)],
+    )
     return pa.table(
         {
             "term": pa.array(out_terms, pa.string()),
@@ -147,11 +151,11 @@ def encode_runs(
             "last_doc_max": pa.array(run_last, pa.int64()),
             "df": pa.array(run_df.astype(np.int64), pa.int64()),
             "cf": pa.array(run_cf.astype(np.int64), pa.int64()),
-            "blob": pa.array(blobs, pa.binary()),
-            "last_doc": pa.array(l_last, pa.list_(pa.int64())),
-            "max_tf": pa.array(l_maxtf, pa.list_(pa.int64())),
-            "min_dl": pa.array(l_mindl, pa.list_(pa.int64())),
-            "offset": pa.array(l_off, pa.list_(pa.int64())),
+            "blob": blob_arr,
+            "last_doc": _list(blk_last),
+            "max_tf": _list(blk_maxtf),
+            "min_dl": _list(blk_mindl),
+            "offset": _list(blk_offsets - run_byte_start[blk_run]),
         },
         schema=RUN_SCHEMA,
     )
