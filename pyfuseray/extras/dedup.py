@@ -3,11 +3,15 @@
 Beyond the reference's exact dedup-by-key (reference
 ``app/DataLoader.py:40``), this module adds the near-dup family a
 100 TB text pipeline needs. All of them follow the same Ray-Data-first
-shape: a vectorized fingerprint stage in ``map_batches``, a
-hash-partitioned ``groupby`` on the fingerprint/bucket key, and a tiny
-driver-side post-pass only where the candidate set is provably small
-(pair verification / union-find); the partitioning assumption each
-relies on is stated in its docstring.
+shape: a vectorized fingerprint stage in ``map_batches``, ONE
+``groupby`` shuffle keyed on a COARSE hash bucket (group count bounded
+regardless of corpus cardinality — the per-key work runs vectorized
+inside each group), and fully distributed pair verification
+(``join_pair_payloads`` + a vectorized metric stage). Only the VERIFIED
+pair list and union-find run on the driver (pairs are output-sized,
+tiny). Oversized LSH buckets are capped WITH overflow markers — never a
+silent drop. The partitioning assumption each operator relies on is
+stated in its docstring.
 """
 
 from __future__ import annotations
