@@ -218,6 +218,7 @@ def build_index(
     # step, amortizing per-pipeline overhead); resumed builds rebuild
     # only the missing buckets, each from its own postings partition.
     todo = [k for k in range(num_buckets) if not m.bucket_done(k)]
+    seg_mem: rd.Dataset | None = None
     if len(todo) == num_buckets:
         t0 = time.perf_counter()
         if os.path.exists(segments_dir):
@@ -226,14 +227,32 @@ def build_index(
             postings_all, n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
             block_size=block_size,
         )
-        seg.sort("term").write_parquet(
-            segments_dir, partition_cols=["bucket"],
-            # small files => small row groups: term-point lookups prune
-            # via parquet statistics instead of decoding whole files
-            max_rows_per_file=256,
-        )
+        # materialize the sorted segments in the object store: the
+        # parquet write (pure disk) runs on a side thread while the
+        # checksum pass — and stage D below — consume the SAME blocks
+        # from memory instead of re-reading the files just written
+        seg_mem = seg.sort("term").materialize()
+        write_err: list[BaseException] = []
+
+        def _write_segments():
+            try:
+                seg_mem.write_parquet(
+                    segments_dir, partition_cols=["bucket"],
+                    # small files => small row groups: term-point lookups
+                    # prune via parquet statistics instead of decoding
+                    # whole files
+                    max_rows_per_file=256,
+                )
+            except BaseException as e:
+                write_err.append(e)
+
+        writer = threading.Thread(target=_write_segments, daemon=True)
+        writer.start()
+        sums = _segment_checksums(seg_mem)
+        writer.join()
+        if write_err:
+            raise write_err[0]
         stage_ms = round((time.perf_counter() - t0) * 1000, 1)
-        sums = _segment_checksums(rd.read_parquet(segments_dir))
         for k in range(num_buckets):
             part_dir = os.path.join(segments_dir, f"bucket={k}")
             checksum, rows, n_postings = sums.get(k, (0, 0, 0))
@@ -287,7 +306,13 @@ def build_index(
             for fut in [pool.submit(_build_bucket, k) for k in todo]:
                 fut.result()
 
-    segments_all = rd.read_parquet(segments_dir)
+    # fresh builds reuse the materialized segments for the integer-exact
+    # df projection (identical from any block structure); docstats ALWAYS
+    # reads the persisted files — its float partial sums depend on block
+    # boundaries, and the parquet layout is the canonical structure both
+    # fresh and resumed builds must agree on (rebuild determinism)
+    segments_all = seg_mem if seg_mem is not None else rd.read_parquet(segments_dir)
+    segments_disk = rd.read_parquet(segments_dir)
 
     # -- stage D: df + exact norms ------------------------------------------
     if not m.stage_done("df"):
@@ -304,7 +329,7 @@ def build_index(
         path = os.path.join(stats_dir, "docstats.parquet")
         if os.path.exists(path):
             shutil.rmtree(path)
-        docstats_dataset(segments_all, n_docs).sort("doc_id").write_parquet(path)
+        docstats_dataset(segments_disk, n_docs).sort("doc_id").write_parquet(path)
         m.mark_stage("docstats", wall_s=round(time.perf_counter() - t0, 3))
         save_manifest(out_dir, m)
 
