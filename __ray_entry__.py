@@ -245,6 +245,19 @@ def _q_events_window(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based session windows (30 min) over the events log — the
+    streaming-window custom operator; oracle = DuckDB lag + cumulative
+    window SQL."""
+    import ray.data as rd
+
+    from pyfuseray.extras.sessions import sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return sessionize(ev)
+
+
 def _q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-10 against vec_id=0's embedding, float64."""
     import pyarrow.parquet as pq
@@ -556,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": _q_filter_project,
         "orders_by_segment": _q_orders_by_segment,
         "events_window": _q_events_window,
+        "sessionize": _q_sessionize,
         "knn_cosine": _q_knn_cosine,
         "fingerprints": _q_fingerprints,
         "quality_score": _q_quality,
@@ -669,6 +683,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY event_type, win
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, value,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts)
+                       ) AS prev
+                FROM events
+            ),
+            flags AS (
+                SELECT user_id, t, value,
+                       CASE WHEN prev IS NULL OR t - prev > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+            ),
+            sess AS (
+                SELECT user_id, t, value,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM flags
+            )
+            SELECT user_id,
+                   CAST(sid AS BIGINT) AS session_id,
+                   min(t) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

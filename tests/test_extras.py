@@ -608,3 +608,36 @@ def test_simhash_banding_pigeonhole_property():
         assert rows_a & rows_b, (hex(h), flips, n_blocks)
 
     check()
+
+
+def test_sessionize_gap_semantics():
+    """Session windows: a gap > threshold starts a new session; ids are
+    1-based per user in time order; aggregates are per session."""
+    import pyarrow as pa
+
+    from pyfuseray.extras.sessions import sessionize
+
+    rows = [
+        # user 1: three events, gap between 2nd and 3rd > 30 min
+        (1, 0, 1.0), (1, 60_000_000, 2.0), (1, 4_000_000_000, 4.0),
+        # user 2: single event
+        (2, 500, 10.0),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    out = (
+        sessionize(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        [1, 1, 0, 2, 3.0],
+        [1, 2, 4_000_000_000, 1, 4.0],
+        [2, 1, 500, 1, 10.0],
+    ]
