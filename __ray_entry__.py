@@ -218,6 +218,55 @@ def _q_orders_by_segment(sf_dir: str):
     return out.map_batches(round_total, batch_format="pyarrow")
 
 
+def _q_revenue_by_priority(sf_dir: str):
+    """BIG x BIG repartition hash join (lineitem x orders on orderkey —
+    neither side broadcast) + grouped aggregate: revenue and item count
+    per order priority (TPC-H-flavoured)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from pyfuseray.extras.joins import hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {"o_orderpriority": batch.column("o_orderpriority"), "rev": rev}
+        )
+
+    out = (
+        joined.map_batches(revenue, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="revenue"))
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        rv = [round(v, 2) for v in batch.column("revenue").to_pylist()]
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_items": batch.column("n_items"),
+                "revenue": pa.array(rv, pa.float64()),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events log:
     groupby(event_type, window) with per-batch partial aggregation."""
@@ -568,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "filter_project": _q_filter_project,
         "orders_by_segment": _q_orders_by_segment,
+        "revenue_by_priority": _q_revenue_by_priority,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "knn_cosine": _q_knn_cosine,
@@ -675,6 +725,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), 2) AS total
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "revenue_by_priority": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "events_window": """
             SELECT event_type,

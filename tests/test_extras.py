@@ -641,3 +641,50 @@ def test_sessionize_gap_semantics():
         [1, 2, 4_000_000_000, 1, 4.0],
         [2, 1, 500, 1, 10.0],
     ]
+
+
+def test_hash_join_matches_pandas():
+    """Repartition hash join == pandas merge on int and string keys,
+    inner and left, with dtypes preserved (incl. null-padded unmatched
+    left rows)."""
+    import pandas as pd
+
+    from pyfuseray.extras.joins import hash_join
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 2, 3, 7], "lv": ["a", "b", "c", "d", "e"], "n": [10, 20, 30, 40, 50]}
+    )
+    right = pd.DataFrame({"rk": [2, 3, 3, 5], "rv": [1.5, 2.5, 3.5, 9.9]})
+    lds = rd.from_pandas(left).repartition(3)
+    rds = rd.from_pandas(right).repartition(2)
+
+    for how in ("inner", "left"):
+        got = (
+            hash_join(lds, rds, left_on="k", right_on="rk", how=how)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on="k", right_on="rk", how=how)
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == want["k"].tolist(), how
+        assert got["lv"].tolist() == want["lv"].tolist(), how
+        assert got["n"].dtype == "int64", how  # ints survive null padding
+        rv_g = got["rv"].fillna(-1).tolist()
+        rv_w = want["rv"].fillna(-1).tolist()
+        assert rv_g == rv_w, how
+
+    # string keys
+    l2 = pd.DataFrame({"s": ["x", "y", "zz"], "v": [1, 2, 3]})
+    r2 = pd.DataFrame({"s2": ["zz", "x", "x"], "w": [7.0, 8.0, 9.0]})
+    got = (
+        hash_join(rd.from_pandas(l2), rd.from_pandas(r2), left_on="s", right_on="s2")
+        .to_pandas()
+        .sort_values(["s", "w"])
+        .reset_index(drop=True)
+    )
+    want = l2.merge(r2, left_on="s", right_on="s2").sort_values(["s", "w"]).reset_index(drop=True)
+    assert got[["s", "v", "s2", "w"]].equals(want[["s", "v", "s2", "w"]])
