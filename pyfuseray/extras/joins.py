@@ -106,11 +106,18 @@ def hash_join(
         return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
 
     # output schema: left fields then right fields (minus the duplicate
-    # key column when the names coincide). The union's null padding makes
-    # pandas widen int columns to float inside the groups, so the final
-    # pass casts every column back to its source arrow type.
-    out_fields = _schema_fields(left) + [
-        f
+    # key column when the names coincide); non-key columns present on
+    # BOTH sides follow pandas' _x/_y suffixing. The union's null padding
+    # makes pandas widen int columns to float inside the groups, so the
+    # final pass casts every column back to its source arrow type.
+    overlap = set(l_cols) & set(r_cols)
+    if left_on == right_on:
+        overlap.discard(left_on)
+    out_fields = [
+        pa.field(f.name + "_x", f.type) if f.name in overlap else f
+        for f in _schema_fields(left)
+    ] + [
+        pa.field(f.name + "_y", f.type) if f.name in overlap else f
         for f in _schema_fields(right)
         if f.name != left_on or right_on != left_on
     ]

@@ -306,14 +306,16 @@ def embedding_near_dups_lsh(
         bands = np.repeat(np.arange(n_bands, dtype=np.int32)[None, :], n, axis=0)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+        from pyfuseray.extras.dedup import COARSE_DEDUP_GROUPS
+
         flat_bands = bands.ravel()
         flat_keys = keys.ravel()
         # coarse shuffle bucket: bounded group count regardless of how
-        # many (band, key) LSH buckets exist (see dedup.COARSE_DEDUP_GROUPS)
+        # many (band, key) LSH buckets exist (shared dedup-family policy)
         cb = (
             flat_keys.astype(np.uint64) * np.uint64(31)
             + flat_bands.astype(np.uint64)
-        ) % np.uint64(1024)
+        ) % np.uint64(COARSE_DEDUP_GROUPS)
         return pa.table(
             {
                 "band": pa.array(flat_bands, pa.int32()),

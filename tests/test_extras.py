@@ -688,3 +688,23 @@ def test_hash_join_matches_pandas():
     )
     want = l2.merge(r2, left_on="s", right_on="s2").sort_values(["s", "w"]).reset_index(drop=True)
     assert got[["s", "v", "s2", "w"]].equals(want[["s", "v", "s2", "w"]])
+
+
+def test_hash_join_suffixes_colliding_columns():
+    """Non-key columns present on BOTH sides come back as _x/_y pairs
+    (pandas convention), never silently nulled."""
+    import pandas as pd
+
+    from pyfuseray.extras.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2], "name": ["la", "lb"]})
+    right = pd.DataFrame({"rk": [1, 2], "name": ["ra", "rb"]})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  left_on="k", right_on="rk")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["name_x"].tolist() == ["la", "lb"]
+    assert got["name_y"].tolist() == ["ra", "rb"]
