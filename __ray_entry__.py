@@ -509,6 +509,13 @@ def _q_bulk_search_bm25(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """Banded MinHash-LSH candidates -> distributed exact n-gram-Jaccard
+    verify (threshold 0.5). Oracle = the exact all-pairs 5-gram Jaccard
+    join in SQL: the verify step is exact, so output == the true pair
+    set whenever LSH recall is 1 — verified exactly on the contract
+    inputs (sf0.001: 28 pairs, sf0.01: 25 pairs) and pinned by
+    ``tests/test_extras.py::test_minhash_pairs_match_exact_jaccard_oracle``
+    (num_perm/bands/shingle_k frozen next to that test)."""
     from pyfuseray.extras.dedup import minhash_dedup
 
     verified, _ = minhash_dedup(
@@ -630,14 +637,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
-        # rows-only (stemming / minhash-LSH / model paths have no DuckDB
-        # equivalent in this sandbox)
+        "minhash_pairs": _q_minhash_pairs,
+        # rows-only (stemming / model paths have no DuckDB equivalent in
+        # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
         "ft_search_tfidf": _q_ft_search_tfidf,
         "ft_search_bm25_wand": _q_ft_search_bm25_wand,
         "sql_like_select": _q_sql_like_select,
         "bulk_search_bm25": _q_bulk_search_bm25,
-        "minhash_pairs": _q_minhash_pairs,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "pca_reduced": _q_pca_reduced,
@@ -881,6 +888,37 @@ def oracle_sql() -> dict[str, str]:
                 WHEN c_es >= c_fr THEN 'es'
                 ELSE 'fr' END AS lang_pred
             FROM c
+        """,
+        # exact 5-gram-token Jaccard >= 0.5 over all pairs; equals the
+        # LSH-candidates + exact-verify pipeline whenever LSH recall is 1
+        # (verified on the contract inputs; pytest-pinned — see
+        # _q_minhash_pairs). Gram construction mirrors dedup._shingles:
+        # tokens = [a-z0-9]+ of lower(text); docs with < 5 tokens
+        # contribute the single whole-doc gram; gram SETS (DISTINCT).
+        "minhash_pairs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(range(1, len(t) - 3),
+                                                i -> array_to_string(t[i:i+4], ' '))
+                       END AS gs
+                FROM toks WHERE len(t) > 0
+            ),
+            g AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
         """,
         "quality_score": f"""
             WITH raw AS (

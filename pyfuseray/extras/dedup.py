@@ -289,25 +289,91 @@ def minhash_candidate_pairs(
     return _dedup_pairs(pairs)
 
 
+def _attach_payloads(group: pd.DataFrame) -> pd.DataFrame:
+    """One COARSE group (many jids): attach each jid's payload row
+    (side == 2) to that jid's pair-side rows (side 0/1), fully
+    vectorized — one argsort over the group's payload rows plus one
+    searchsorted for the pair-side rows; per-jid overhead never scales
+    with candidate count."""
+    side = group["side"].to_numpy()
+    is_payload = side == 2
+    pj = group["jid"].to_numpy()[is_payload]
+    pv = group["payload"].to_numpy()[is_payload]
+    rows = group[~is_payload]
+    if pj.size == 0 or len(rows) == 0:
+        return rows.iloc[0:0][["a", "b", "side", "payload"]]
+    order = np.argsort(pj, kind="stable")
+    pj, pv = pj[order], pv[order]
+    rj = rows["jid"].to_numpy()
+    pos = np.searchsorted(pj, rj)
+    pos_c = np.minimum(pos, pj.size - 1)
+    hit = pj[pos_c] == rj
+    out = rows[hit][["a", "b", "side"]].copy()
+    out["payload"] = pv[pos_c[hit]]
+    return out
+
+
+def _pivot_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """One COARSE group (many (a, b) pairs): pivot each pair's side-0 /
+    side-1 rows into one (a, b, payload_a, payload_b) row. Vectorized:
+    one lexsort on (a, b, side), then adjacent-row matching; duplicate
+    (a, b, side) rows collapse to the first (all duplicates of a pair
+    share its coarse bucket by construction)."""
+    a = group["a"].to_numpy()
+    b = group["b"].to_numpy()
+    side = group["side"].to_numpy()
+    pay = group["payload"].to_numpy()
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+         "payload_a": pd.Series(dtype=object),
+         "payload_b": pd.Series(dtype=object)}
+    )
+    if a.size == 0:
+        return empty
+    order = np.lexsort((side, b, a))
+    a, b, side, pay = a[order], b[order], side[order], pay[order]
+    keep = np.ones(a.size, dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (side[1:] != side[:-1])
+    a, b, side, pay = a[keep], b[keep], side[keep], pay[keep]
+    if a.size < 2:
+        return empty
+    # after dedup + sort, a complete pair is exactly the adjacent rows
+    # (side 0, side 1) sharing (a, b)
+    first = (
+        (a[:-1] == a[1:]) & (b[:-1] == b[1:]) & (side[:-1] == 0) & (side[1:] == 1)
+    )
+    idx = np.flatnonzero(first)
+    return pd.DataFrame(
+        {"a": a[idx], "b": b[idx], "payload_a": pay[idx], "payload_b": pay[idx + 1]}
+    )
+
+
 def join_pair_payloads(
     pairs: rd.Dataset,
     payloads: rd.Dataset,
     *,
     id_col: str = "doc_id",
     payload_col: str = "text",
+    coarse_groups: int = COARSE_DEDUP_GROUPS,
 ) -> rd.Dataset:
     """Distributed pair-payload join: (a, b) x (id, payload) ->
     (a, b, payload_a, payload_b). Nothing iterates the corpus on the
     driver.
 
-    Plan (two keyed shuffles, both on candidate-bounded data):
+    Plan (two keyed shuffles, both on candidate-bounded data and BOTH
+    keyed on coarse hash buckets — group count bounded by
+    ``coarse_groups`` regardless of candidate cardinality, same policy
+    as every other dedup-family groupby):
       1. the corpus side is SEMI-JOIN filtered to candidate ids with one
          broadcast ``ray.put`` id array + vectorized ``np.isin`` inside
          ``map_batches`` — the full corpus streams through exactly once
          and only candidate rows continue;
       2. pair rows explode to (jid=a, ...) / (jid=b, ...) and union with
-         the filtered payload rows; groupby(jid) attaches the payload to
-         each pair side; groupby(a, b) pivots the two sides into one row.
+         the filtered payload rows; groupby(coarse hash of jid) attaches
+         payloads to pair sides (``_attach_payloads``, vectorized
+         sort + searchsorted per coarse group); groupby(coarse pair
+         bucket of (a, b)) pivots the two sides into one row
+         (``_pivot_pairs``, one lexsort per coarse group).
 
     Partitioning assumption: the candidate-ID ARRAY fits in the object
     store (ids only — 8 bytes per distinct candidate; the payloads
@@ -318,6 +384,11 @@ def join_pair_payloads(
 
     sch = payloads.schema()
     ptype = dict(zip(sch.names, sch.types))[payload_col]
+
+    def coarse_jid(ids: np.ndarray) -> np.ndarray:
+        return (
+            ids.astype(np.uint64) * np.uint64(11400714819323198485) >> np.uint64(32)
+        ) % np.uint64(coarse_groups)
 
     # candidate pairs are consumed twice (id collection + explode):
     # materialize the SMALL pair set once so the upstream LSH pipeline
@@ -342,13 +413,20 @@ def join_pair_payloads(
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sub = batch.filter(pa.array(np.isin(ids, wanted)))
         n = sub.num_rows
+        jid = sub.column(id_col).cast(pa.int64())
+        cb = coarse_jid(jid.to_numpy(zero_copy_only=False))
+        # -1 sentinels, NOT nulls: nulls would make pandas widen the int
+        # a/b columns to float64 inside the attach groups (silent
+        # precision loss for ids above 2^53)
+        neg = pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
         return pa.table(
             {
-                "jid": sub.column(id_col).cast(pa.int64()),
-                "a": pa.nulls(n, pa.int64()),
-                "b": pa.nulls(n, pa.int64()),
+                "jid": jid,
+                "a": neg,
+                "b": neg,
                 "side": pa.array(np.full(n, 2, dtype=np.int8)),
                 "payload": sub.column(payload_col),
+                "_cb": pa.array(cb.astype(np.int64), pa.int64()),
             }
         )
 
@@ -356,9 +434,10 @@ def join_pair_payloads(
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
         n = a.size
+        jid = np.concatenate([a, b])
         return pa.table(
             {
-                "jid": pa.array(np.concatenate([a, b]), pa.int64()),
+                "jid": pa.array(jid, pa.int64()),
                 "a": pa.array(np.concatenate([a, a]), pa.int64()),
                 "b": pa.array(np.concatenate([b, b]), pa.int64()),
                 "side": pa.array(
@@ -367,46 +446,27 @@ def join_pair_payloads(
                     )
                 ),
                 "payload": pa.nulls(2 * n, ptype),
+                "_cb": pa.array(coarse_jid(jid).astype(np.int64), pa.int64()),
             }
         )
 
     sides = cand.map_batches(explode, batch_format="pyarrow")
     filtered = payloads.map_batches(semi_filter, batch_format="pyarrow")
 
-    def attach(group: pd.DataFrame) -> pd.DataFrame:
-        payload_rows = group[group["side"] == 2]
-        if payload_rows.empty:
-            return group.iloc[0:0][["a", "b", "side", "payload"]]
-        val = payload_rows["payload"].iloc[0]
-        out = group[group["side"] != 2][["a", "b", "side"]].copy()
-        out["payload"] = [val] * len(out)
-        return out
-
-    def pivot(group: pd.DataFrame) -> pd.DataFrame:
-        s0 = group[group["side"] == 0]
-        s1 = group[group["side"] == 1]
-        if s0.empty or s1.empty:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                 "payload_a": pd.Series(dtype=object),
-                 "payload_b": pd.Series(dtype=object)}
-            )
-        return pd.DataFrame(
-            {
-                "a": [int(group["a"].iloc[0])],
-                "b": [int(group["b"].iloc[0])],
-                "payload_a": [s0["payload"].iloc[0]],
-                "payload_b": [s1["payload"].iloc[0]],
-            }
-        )
+    def add_pair_cb(batch: pa.Table) -> pa.Table:
+        cb = _coarse_pair_bucket(
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False),
+        ) % np.uint64(coarse_groups)
+        return batch.append_column("_pb", pa.array(cb.astype(np.int64), pa.int64()))
 
     joined = (
         sides.union(filtered)
-        .groupby("jid")
-        .map_groups(attach, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(pivot, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(_attach_payloads, batch_format="pandas")
+        .map_batches(add_pair_cb, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(_pivot_pairs, batch_format="pandas")
     )
     return joined.map_batches(lambda t: t, batch_format="pyarrow")
 

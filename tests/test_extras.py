@@ -303,6 +303,126 @@ def test_join_pair_payloads():
     assert out["payload_b"].tolist() == ["text-2", "text-3"]
 
 
+def test_join_pair_payloads_coarse_groups_hold_many_keys():
+    """Scale-shape invariant (round-2 verdict #1): the pair-payload join
+    shuffles on COARSE buckets, so one group carries MANY jids / MANY
+    (a, b) pairs. With coarse_groups=5 and 40 pairs every group holds
+    ~8 pairs — a per-key assumption in attach/pivot (the old
+    one-group-per-candidate shape) would return garbage here."""
+    from pyfuseray.extras.dedup import join_pair_payloads
+
+    n = 40
+    pair_rows = [{"a": i, "b": i + n} for i in range(n)]
+    # duplicate pair rows must collapse, not double-emit
+    pair_rows += [{"a": 0, "b": n}, {"a": 3, "b": 3 + n}]
+    # a pair whose b-side payload is missing from the corpus is dropped
+    pair_rows += [{"a": 5, "b": 10_000}]
+    pairs = rd.from_items(pair_rows).repartition(4)
+    payloads = rd.from_items(
+        [{"doc_id": i, "text": f"payload-{i}"} for i in range(2 * n)]
+    ).repartition(6)
+    out = (
+        join_pair_payloads(pairs, payloads, coarse_groups=5)
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert out["a"].tolist() == list(range(n))
+    assert out["b"].tolist() == [i + n for i in range(n)]
+    assert out["payload_a"].tolist() == [f"payload-{i}" for i in range(n)]
+    assert out["payload_b"].tolist() == [f"payload-{i + n}" for i in range(n)]
+
+
+def test_attach_and_pivot_vectorized_multikey():
+    """Direct unit coverage of the per-coarse-group kernels: one call
+    handles many jids / many pairs (the coarse-shuffle contract)."""
+    import pandas as pd
+
+    from pyfuseray.extras.dedup import _attach_payloads, _pivot_pairs
+
+    # attach: 3 jids' payloads + 2 pairs' side rows in ONE group
+    g = pd.DataFrame(
+        {
+            "jid": [10, 20, 30, 10, 20, 10, 30, 99],
+            "a": [-1, -1, -1, 10, 10, 10, 10, 99],
+            "b": [-1, -1, -1, 20, 20, 30, 30, 100],
+            "side": [2, 2, 2, 0, 1, 0, 1, 0],
+            "payload": ["p10", "p20", "p30", None, None, None, None, None],
+        }
+    )
+    at = _attach_payloads(g)
+    assert len(at) == 4  # jid=99 has no payload row -> dropped
+    got = {(r.a, r.b, r.side): r.payload for r in at.itertuples()}
+    assert got == {
+        (10, 20, 0): "p10", (10, 20, 1): "p20",
+        (10, 30, 0): "p10", (10, 30, 1): "p30",
+    }
+    # pivot: 2 complete pairs + 1 half pair + duplicated rows in ONE group
+    at2 = pd.concat([at, at.iloc[[0]]], ignore_index=True)  # duplicate row
+    at2 = pd.concat(
+        [at2, pd.DataFrame({"a": [7], "b": [8], "side": [0], "payload": ["x"]})],
+        ignore_index=True,
+    )
+    pv = _pivot_pairs(at2).sort_values("a").reset_index(drop=True)
+    assert pv[["a", "b"]].values.tolist() == [[10, 20], [10, 30]]
+    assert pv["payload_a"].tolist() == ["p10", "p10"]
+    assert pv["payload_b"].tolist() == ["p20", "p30"]
+
+
+def test_minhash_pairs_match_exact_jaccard_oracle():
+    """Contract-oracle pinning: the minhash_pairs entry is hash-gated
+    against an exact all-pairs 5-gram-Jaccard SQL oracle, which is only
+    sound while LSH recall is 1.0 on the contract inputs. This test
+    fails LOCALLY (with a clear message) if a change to
+    num_perm/bands/shingle_k or the shingle definition breaks that
+    pairing. Params frozen here: num_perm=64, bands=16, shingle_k=5,
+    threshold=0.5."""
+    import duckdb
+
+    from __ray_entry__ import _q_minhash_pairs, oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_minhash_pairs(sf)
+    got_set = set(map(tuple, got[["a", "b"]].values.tolist()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(oracle_sql()["minhash_pairs"]).df()
+    want_set = set(map(tuple, want[["a", "b"]].values.tolist()))
+    assert got_set == want_set, (
+        "minhash_pairs != exact-Jaccard oracle: LSH recall dropped below "
+        "1.0 on contract data (missing: %s, extra: %s) — re-check "
+        "num_perm/bands/shingle_k before shipping"
+        % (sorted(want_set - got_set), sorted(got_set - want_set))
+    )
+
+
+def test_embedding_lsh_equals_exact_on_contract_data():
+    """Contract-oracle pinning (ADVICE r2): embedding_near_dups_lsh is
+    hash-gated against the EXACT join's SQL oracle, justified by
+    recall 1.0 with the frozen seed/params (planes_per_band=4,
+    n_bands=64, seed=29, threshold=0.45). A recall regression must fail
+    here with a clear message, not at the driver gate."""
+    from __ray_entry__ import _q_embedding_near_dups, _q_embedding_near_dups_lsh
+
+    sf = "/root/testdata/sf0.001"
+    exact = _q_embedding_near_dups(sf).to_pandas()
+    lsh = _q_embedding_near_dups_lsh(sf).to_pandas()
+    e = set(map(tuple, exact[["a", "b"]].values.tolist()))
+    l = set(map(tuple, lsh[["a", "b"]].values.tolist()))
+    assert l == e, (
+        "LSH near-dups != exact join on contract data (missing: %s, "
+        "extra: %s) — the shared SQL oracle pairing is broken; re-check "
+        "seed/planes_per_band/n_bands" % (sorted(e - l), sorted(l - e))
+    )
+    # scores are exact cosine on both paths
+    es = {(r.a, r.b): r.score for r in exact.itertuples()}
+    for r in lsh.itertuples():
+        assert abs(es[(r.a, r.b)] - r.score) < 1e-9
+
+
 def test_simhash_block_banding_covers_hamming3():
     """Pigeonhole guarantee holds for BOTH band layouts: every true
     hamming<=3 pair is a candidate under 4-block (16-bit keys) and
