@@ -5,10 +5,15 @@ Ray Data 2.49 has no native join, and the engine's broadcast joins
 This module adds the BIG x BIG shape: a repartition hash join — both
 sides shuffle ONCE on a coarse hash of the key (bounded group count,
 same policy as the dedup family), and each group runs one vectorized
-pandas merge. That is the textbook distributed join plan; skewed hot
-keys would be salted exactly like the segment merge's hot terms
-(``segments.build_bucket_segment``), which these synthetic keys don't
-need.
+pandas merge on arrow-separated sides (keys and values never round-trip
+through float64, so 64-bit ids above 2^53 stay exact).
+
+Skewed hot keys are SALTED (the segment merge's hot-term pattern,
+``segments.build_bucket_segment``): an optional narrow pre-pass counts
+heavy keys on both sides; each hot key gets its own ``salts`` dedicated
+groups — the bigger side's rows spread across them, the other side's
+rows replicate into each — so one hot key can never pin most of both
+tables into a single group.
 
 ``join_pair_payloads`` in ``extras.dedup`` is the specialized
 two-payload variant of the same idea; ``hash_join`` is the general
@@ -23,6 +28,7 @@ import pyarrow as pa
 import ray.data as rd
 
 COARSE_JOIN_GROUPS = 512
+DEFAULT_SALTS = 8
 
 
 def _vec_key_hash(col: pa.ChunkedArray, n_groups: int) -> np.ndarray:
@@ -47,6 +53,62 @@ def _vec_key_hash(col: pa.ChunkedArray, n_groups: int) -> np.ndarray:
     raise TypeError(f"unsupported join key type: {typ}")
 
 
+def detect_hot_keys(
+    ds: rd.Dataset,
+    key: str,
+    *,
+    coarse_groups: int = COARSE_JOIN_GROUPS,
+    hot_factor: float = 2.0,
+    per_batch_frac: float = 0.01,
+) -> dict:
+    """One NARROW pass over the key column -> {key: approx_count} for
+    keys heavy enough to skew a coarse join group.
+
+    Per batch, only keys holding > max(32, per_batch_frac x batch) rows
+    are emitted (bounded candidate set — a key must be locally frequent
+    somewhere to be globally dominant); the driver sums candidates and
+    keeps keys with count > hot_factor x (total_rows / coarse_groups).
+    Heuristic by design: a key spread perfectly thin below the per-batch
+    bar is missed, but such a key cannot dominate a group by more than
+    ~per_batch_frac x blocks either.
+    """
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        arr = col.to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(arr, return_counts=True)
+        bar = max(32, int(per_batch_frac * len(arr)))
+        mask = counts > bar
+        return pa.table(
+            {
+                "k": pa.array(uniq[mask], type=col.type),
+                "c": pa.array(counts[mask], pa.int64()),
+                "total": pa.array(
+                    [len(arr)] + [0] * (int(mask.sum()) - 1)
+                    if mask.sum() else [len(arr)],
+                    pa.int64(),
+                ),
+                # pad k/c when only the total row exists
+            }
+            if mask.any()
+            else {
+                "k": pa.nulls(1, col.type),
+                "c": pa.array([0], pa.int64()),
+                "total": pa.array([len(arr)], pa.int64()),
+            }
+        )
+
+    agg = ds.select_columns([key]).map_batches(
+        candidates, batch_format="pyarrow"
+    ).to_pandas()
+    total = int(agg["total"].sum())
+    if total == 0:
+        return {}
+    counts = agg.dropna(subset=["k"]).groupby("k")["c"].sum()
+    bar = hot_factor * total / coarse_groups
+    return {k: int(c) for k, c in counts.items() if c > bar}
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -55,13 +117,26 @@ def hash_join(
     right_on: str | None = None,
     how: str = "inner",
     coarse_groups: int = COARSE_JOIN_GROUPS,
+    salts: int = DEFAULT_SALTS,
+    skew_keys: dict | list | None = None,
+    detect_skew: bool = True,
 ) -> rd.Dataset:
     """Repartition hash join of two Datasets on an equi-key.
 
     Both sides are tagged, bucketed by the same coarse key hash, and
-    shuffled ONCE; each group merges its two sides with a vectorized
-    pandas merge. Column collisions follow pandas' _x/_y suffixing;
-    ``how`` supports 'inner' and 'left'.
+    shuffled ONCE; each group splits its two sides arrow-side (ints
+    never pass through float64 null-padding) and merges them with one
+    vectorized pandas merge. Column collisions follow pandas' _x/_y
+    suffixing; ``how`` supports 'inner' and 'left'.
+
+    Skew: ``skew_keys`` may be an explicit hot-key list, or ``None``
+    with ``detect_skew=True`` (default) to run ``detect_hot_keys`` over
+    both sides first (one extra NARROW pass per side — pass
+    ``detect_skew=False`` for pre-balanced keys or when the inputs are
+    expensive to recompute). Each hot key gets ``salts`` dedicated
+    groups: the side with more of that key spreads across them, the
+    other side replicates into each ('left' joins always spread the
+    left side so unmatched rows can't duplicate).
     """
     right_on = right_on or left_on
     assert how in ("inner", "left")
@@ -72,11 +147,62 @@ def hash_join(
     l_cols = [f.name for f in _schema_fields(left)]
     r_cols = [f.name for f in _schema_fields(right)]
 
+    if skew_keys is None and detect_skew:
+        lhot = detect_hot_keys(left, left_on, coarse_groups=coarse_groups)
+        rhot = detect_hot_keys(right, right_on, coarse_groups=coarse_groups)
+        hot = {k: (lhot.get(k, 0), rhot.get(k, 0)) for k in set(lhot) | set(rhot)}
+    elif skew_keys:
+        hot = {k: (1, 0) for k in skew_keys}  # spread left, replicate right
+    else:
+        hot = {}
+    # per hot key: (base group id, spread side 0=left / 1=right)
+    hot_plan: dict = {}
+    for i, k in enumerate(sorted(hot, key=str)):
+        lc, rc = hot[k]
+        spread_side = 0 if (how == "left" or lc >= rc) else 1
+        hot_plan[k] = (coarse_groups + i * salts, spread_side)
+
     def tag(side: int, key_col: str):
         def fn(batch: pa.Table) -> pa.Table:
-            cb = _vec_key_hash(batch.column(key_col), coarse_groups)
-            out = batch.append_column("_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
-            return out.append_column("_cb", pa.array(cb.astype(np.int64), pa.int64()))
+            col = batch.column(key_col)
+            cb = _vec_key_hash(col, coarse_groups).astype(np.int64)
+            out = batch.append_column(
+                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            )
+            if not hot_plan:
+                return out.append_column("_cb", pa.array(cb, pa.int64()))
+            keys = col.to_numpy(zero_copy_only=False)
+            rep_idx: list[np.ndarray] = []
+            rep_cb: list[np.ndarray] = []
+            for k, (base, spread_side) in hot_plan.items():
+                mask = keys == k
+                if not mask.any():
+                    continue
+                idx = np.flatnonzero(mask)
+                if side == spread_side:
+                    # spread: each row to one of the key's salt groups
+                    cb[idx] = base + (np.arange(idx.size) % salts)
+                else:
+                    # replicate: each row into EVERY salt group
+                    cb[idx] = base  # keep one copy in salt 0
+                    if salts > 1:
+                        rep_idx.append(np.repeat(idx, salts - 1))
+                        rep_cb.append(
+                            base
+                            + 1
+                            + np.tile(np.arange(salts - 1), idx.size)
+                        )
+            out = out.append_column("_cb", pa.array(cb, pa.int64()))
+            if rep_idx:
+                extra_i = np.concatenate(rep_idx)
+                extra = batch.take(pa.array(extra_i, pa.int64()))
+                extra = extra.append_column(
+                    "_side", pa.array(np.full(extra.num_rows, side, dtype=np.int8))
+                ).append_column(
+                    "_cb", pa.array(np.concatenate(rep_cb), pa.int64())
+                )
+                out = pa.concat_tables([out, extra])
+            return out
 
         return fn
 
@@ -100,16 +226,28 @@ def hash_join(
         widen(r_cols, l_cols, _schema_fields(left)), batch_format="pyarrow"
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group["_side"] == 0][l_cols]
-        rg = group[group["_side"] == 1][r_cols]
+    def merge(group: pa.Table) -> pd.DataFrame:
+        # split sides ARROW-side before any pandas conversion: the union's
+        # null padding never touches a side's own columns, so int64 keys
+        # and values above 2^53 stay exact through the merge
+        import pyarrow.compute as pc
+
+        sides = group.column("_side")
+        lg = group.filter(pc.equal(sides, 0)).select(l_cols).to_pandas()
+        rg = group.filter(pc.equal(sides, 1)).select(r_cols).to_pandas()
+        if how == "left":
+            # unmatched left rows null-pad the right columns; nullable
+            # Int64 keeps ints exact instead of widening to float64
+            for c in rg.columns:
+                if pd.api.types.is_integer_dtype(rg[c]):
+                    rg[c] = rg[c].astype("Int64")
         return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
 
     # output schema: left fields then right fields (minus the duplicate
     # key column when the names coincide); non-key columns present on
-    # BOTH sides follow pandas' _x/_y suffixing. The union's null padding
-    # makes pandas widen int columns to float inside the groups, so the
-    # final pass casts every column back to its source arrow type.
+    # BOTH sides follow pandas' _x/_y suffixing. The final pass casts
+    # every column back to its source arrow type (nullable Int64 /
+    # object survive as-is otherwise).
     overlap = set(l_cols) & set(r_cols)
     if left_on == right_on:
         overlap.discard(left_on)
@@ -145,7 +283,7 @@ def hash_join(
     joined = (
         lt.union(rt)
         .groupby("_cb")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
     return joined.map_batches(normalize, batch_format="pyarrow")
 

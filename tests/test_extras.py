@@ -810,6 +810,93 @@ def test_hash_join_matches_pandas():
     assert got[["s", "v", "s2", "w"]].equals(want[["s", "v", "s2", "w"]])
 
 
+def test_hash_join_salts_skewed_keys():
+    """One key holding 50% of both sides must still join correctly —
+    detect_hot_keys finds it, and the salted plan (spread one side,
+    replicate the other across the key's dedicated groups) produces
+    exactly the pandas-merge result, for inner and left joins."""
+    import pandas as pd
+
+    from pyfuseray.extras.joins import detect_hot_keys, hash_join
+
+    n = 4000
+    rng = np.random.default_rng(5)
+    # key 7 holds half of each side; the rest spread over 200 keys
+    lk = np.where(rng.random(n) < 0.5, 7, rng.integers(100, 300, n))
+    rk = np.where(rng.random(n // 2) < 0.5, 7, rng.integers(100, 300, n // 2))
+    left = pd.DataFrame({"k": lk, "lv": np.arange(n)})
+    right = pd.DataFrame({"rk": rk, "rv": np.arange(n // 2) * 1.5})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(3)
+
+    hot = detect_hot_keys(lds, "k", per_batch_frac=0.01)
+    assert 7 in hot and hot[7] > 1000
+
+    for how in ("inner", "left"):
+        got = (
+            hash_join(lds, rds, left_on="k", right_on="rk", how=how, salts=4)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on="k", right_on="rk", how=how)
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), how
+        assert got["k"].tolist() == want["k"].tolist(), how
+        assert got["lv"].tolist() == want["lv"].tolist(), how
+        assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist(), how
+
+    # explicit skew_keys (no detection pass) takes the same salted path
+    got = (
+        hash_join(lds, rds, left_on="k", right_on="rk", skew_keys=[7], salts=4)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got["lv"].tolist() == want["lv"].tolist()
+
+
+def test_hash_join_keys_above_2_53_stay_exact():
+    """int64 keys/values above 2^53 must never round-trip through
+    float64 (distinct keys would collide); sides are split arrow-side
+    before the pandas merge."""
+    import pandas as pd
+
+    from pyfuseray.extras.joins import hash_join
+
+    base = (1 << 60) + 1
+    # adjacent huge keys that collide if cast to float64
+    keys = [base, base + 1, base + 2, base + 3]
+    left = pd.DataFrame({"k": np.array(keys, dtype=np.int64),
+                         "lv": np.array([base + 10, base + 11, base + 12, base + 13],
+                                        dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([base, base + 1, base + 5], dtype=np.int64),
+                          "rv": np.array([base + 20, base + 21, base + 22],
+                                         dtype=np.int64)})
+    for how in ("inner", "left"):
+        got = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      left_on="k", how=how, detect_skew=False)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = left.merge(right, on="k", how=how).sort_values("k").reset_index(drop=True)
+        assert got["k"].tolist() == want["k"].tolist(), how
+        assert got["lv"].tolist() == want["lv"].tolist(), how
+        got_rv = [None if pd.isna(v) else int(v) for v in got["rv"]]
+        want_rv = [None if pd.isna(v) else int(v) for v in want["rv"]]
+        assert got_rv == want_rv, how  # exact huge ints, no float rounding
+
+
 def test_hash_join_suffixes_colliding_columns():
     """Non-key columns present on BOTH sides come back as _x/_y pairs
     (pandas convention), never silently nulled."""
