@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from pyfuseray.extras.vecs import as_matrix
+
 
 class PCAModel:
     def __init__(self, mean: np.ndarray, components: np.ndarray):
@@ -78,7 +80,7 @@ def pca_transform(
 
     def project(batch: pa.Table) -> pa.Table:
         mean, comps = ray.get(m_ref)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = as_matrix(batch.column(vec_col), dtype=np.float64)
         red = (vecs - mean) @ comps
         return pa.table(
             {

@@ -38,6 +38,7 @@ import ray
 import ray.data as rd
 
 from pyfuseray.extras.knn import _norm_rows
+from pyfuseray.extras.vecs import as_matrix, series_matrix
 
 
 def kmeans_fit(
@@ -100,14 +101,18 @@ def build_ivf(
     sample = embeddings.random_sample(min(1.0, sample_fraction), seed=seed)
     sample_df = sample.select_columns([vec_col]).to_pandas()
     if len(sample_df) < n_centroids:
-        sample_df = embeddings.select_columns([vec_col]).to_pandas()
-    x = np.asarray(sample_df[vec_col].tolist(), dtype=np.float64)
+        # degenerate sample (tiny corpus / tiny fraction): top up with a
+        # BOUNDED prefix — never the whole table (the corpus may not fit
+        # on the driver)
+        cap = max(n_centroids * 50, 10_000)
+        sample_df = embeddings.select_columns([vec_col]).limit(cap).to_pandas()
+    x = series_matrix(sample_df[vec_col], dtype=np.float64)
     centroids = kmeans_fit(x, n_centroids, iters=iters, seed=seed)
     c_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        vecs = _norm_rows(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        vecs = _norm_rows(as_matrix(batch.column(vec_col), dtype=np.float64))
         cid = np.argmax(vecs @ c.T, axis=1).astype(np.int32)
         # centroid_id becomes the hive partition path; cid stays INSIDE
         # the files so probed reads (which pass explicit file lists, not
@@ -120,9 +125,17 @@ def build_ivf(
     )
     # layout: out_dir/data/centroid_id=k/*.parquet + out_dir/centroids.npy
     # (the npy lives OUTSIDE the parquet root so dataset scans never
-    # trip over a non-parquet file)
+    # trip over a non-parquet file). Write to a tmp dir and swap into
+    # place: rebuilding over a stale/partial layout would otherwise
+    # leave old files inside centroid_id=k dirs for the probe globs.
+    import shutil
+
     data_dir = os.path.join(out_dir, "data")
-    assigned.write_parquet(data_dir, partition_cols=["centroid_id"])
+    tmp_dir = data_dir + ".writing"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    assigned.write_parquet(tmp_dir, partition_cols=["centroid_id"])
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.replace(tmp_dir, data_dir)
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
     return IVFIndex(data_dir, centroids, id_col, vec_col)
 
@@ -175,7 +188,7 @@ def ivf_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, prb = ray.get(q_ref)
-        vecs = _norm_rows(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        vecs = _norm_rows(as_matrix(batch.column(vec_col), dtype=np.float64))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         cids = batch.column("cid").to_numpy(zero_copy_only=False)
         out_q, out_id, out_s = [], [], []
@@ -240,7 +253,7 @@ def ivf_range_search(
 
     def within(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = as_matrix(batch.column(vec_col), dtype=np.float64)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         d = np.linalg.norm(vecs - q[None, :], axis=1)
         mask = d <= radius

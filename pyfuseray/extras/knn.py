@@ -22,9 +22,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from pyfuseray.extras.vecs import as_matrix, series_matrix
+
 
 def _as_matrix(batch_col) -> np.ndarray:
-    return np.asarray(batch_col.to_pylist(), dtype=np.float32)
+    return as_matrix(batch_col, dtype=np.float32)
 
 
 def brute_force_topk(
@@ -199,6 +201,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_block_rows: int = 4096,
+    max_blocks: int = 256,
 ) -> rd.Dataset:
     """EXACT embedding-cosine near-duplicate pairs (a < b, cosine >=
     threshold), as a distributed block-pair self-join.
@@ -220,18 +223,24 @@ def embedding_near_dups(
     proj = embeddings.select_columns([id_col, vec_col])
     n = proj.count()
     nblocks = max(1, math.ceil(n / max(1, target_block_rows)))
+    if nblocks > max_blocks:
+        raise ValueError(
+            f"embedding_near_dups would spawn {nblocks * (nblocks + 1) // 2} "
+            f"block-pair tasks ({nblocks} blocks > max_blocks={max_blocks}); "
+            "the exact all-pairs join is O(N^2) by definition — use "
+            "embedding_near_dups_lsh (sub-quadratic) at this scale, or "
+            "raise max_blocks explicitly if the quadratic cost is intended"
+        )
     refs = proj.repartition(nblocks).to_arrow_refs()
 
     @ray.remote
     def block_pair(left: pa.Table, right: pa.Table, same: bool) -> pa.Table:
-        lv = _norm_rows(np.asarray(left.column(vec_col).to_pylist(), dtype=np.float64))
+        lv = _norm_rows(as_matrix(left.column(vec_col), dtype=np.float64))
         lids = left.column(id_col).to_numpy(zero_copy_only=False)
         if same:
             rv, rids = lv, lids
         else:
-            rv = _norm_rows(
-                np.asarray(right.column(vec_col).to_pylist(), dtype=np.float64)
-            )
+            rv = _norm_rows(as_matrix(right.column(vec_col), dtype=np.float64))
             rids = right.column(id_col).to_numpy(zero_copy_only=False)
         sims = lv @ rv.T
         mask = sims >= threshold
@@ -346,7 +355,7 @@ def embedding_near_dups_lsh(
             if ids.size < 2:
                 continue
             vecs = _norm_rows(
-                np.asarray(group[vec_col].to_numpy()[order].tolist(), dtype=np.float64)
+                series_matrix(group[vec_col].iloc[order], dtype=np.float64)
             )
             sims = vecs @ vecs.T
             ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))

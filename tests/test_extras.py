@@ -555,6 +555,80 @@ def test_ivf_prunes_partitions(tmp_path):
     assert seen and seen[0] < 300  # strictly fewer rows than the corpus
 
 
+def test_as_matrix_zero_copy_paths():
+    """The shared vector decode: list / large_list / fixed_size_list
+    columns (chunked or not, sliced or not) all reshape to the same
+    matrix as the to_pylist fallback."""
+    from pyfuseray.extras.vecs import as_matrix, series_matrix
+
+    rng = np.random.default_rng(2)
+    mat = rng.standard_normal((50, 7)).astype(np.float32)
+    rows = [v.tolist() for v in mat]
+    for typ in (
+        pa.list_(pa.float32()),
+        pa.large_list(pa.float32()),
+        pa.list_(pa.float32(), 7),
+    ):
+        arr = pa.array(rows, type=typ)
+        got = as_matrix(arr, dtype=np.float64)
+        assert got.shape == (50, 7)
+        assert np.allclose(got, mat.astype(np.float64))
+        # sliced view (nonzero offset) must decode the slice only
+        sl = arr.slice(10, 20)
+        assert np.allclose(as_matrix(sl, dtype=np.float64), mat[10:30])
+        # chunked
+        ch = pa.chunked_array([arr.slice(0, 25), arr.slice(25, 25)])
+        assert np.allclose(as_matrix(ch, dtype=np.float64), mat)
+    # ragged fallback stays exact
+    ragged = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float64()))
+    assert as_matrix(ragged).tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    # pandas series of arrays
+    import pandas as pd
+
+    s = pd.Series([np.array([1.0, 2.0]), [3.0, 4.0]])
+    assert series_matrix(s).tolist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_embedding_near_dups_refuses_quadratic_blowup():
+    """Above the block-count bound the exact join refuses with a pointer
+    to the LSH path instead of spawning a quadratic task fan-out."""
+    import pytest
+
+    from pyfuseray.extras.knn import embedding_near_dups
+
+    ds, _ = _emb_ds(n=100, dim=8)
+    with pytest.raises(ValueError, match="embedding_near_dups_lsh"):
+        embedding_near_dups(ds, 0.9, target_block_rows=10, max_blocks=4)
+    # raising the bound explicitly still works
+    out = embedding_near_dups(ds, 0.99, target_block_rows=10, max_blocks=16)
+    assert out.count() >= 0
+
+
+def test_build_ivf_overwrites_stale_layout(tmp_path):
+    """Rebuilding over an existing (stale/partial) IVF layout must not
+    leave old partition files behind for the probe globs: total row
+    count across partitions equals the corpus after a rebuild with
+    different centroid count."""
+    import glob
+    import os
+
+    from pyfuseray.extras.ivf import build_ivf, ivf_topk
+
+    ds, vecs = _emb_ds(n=200, dim=8, seed=9)
+    out = str(tmp_path / "ivf")
+    build_ivf(ds, out, n_centroids=16, seed=5)
+    # plant a stale file where a rebuild with fewer centroids would
+    # otherwise leave it (simulates a crashed/partial prior run)
+    n_files_1 = len(glob.glob(os.path.join(out, "data", "*", "*.parquet")))
+    ix = build_ivf(ds, out, n_centroids=4, seed=5)
+    files = glob.glob(os.path.join(ix.data_dir, "*", "*.parquet"))
+    assert files and len(files) <= n_files_1
+    total = rd.read_parquet(sorted(files)).count()
+    assert total == 200  # no duplicated/stale rows
+    res = ivf_topk(ix, vecs[0], 5, nprobe=4)[0]
+    assert res[0][0] == 0
+
+
 # -- dimensionality reduction ------------------------------------------------
 
 def test_pca_fit_sample_broadcast_transform():
