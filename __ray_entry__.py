@@ -577,6 +577,32 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_knn_ivf_full(sf_dir: str):
+    """IVF with nprobe = n_centroids: reads every partition, so the
+    result provably equals exhaustive cosine top-k (pytest-pinned by
+    test_ivf_consistency_and_recall) — which makes the brute-force SQL
+    oracle (knn_cosine's) apply to the IVF machinery end-to-end:
+    sample -> k-means -> partitioned layout -> probe -> partial top-k."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyfuseray.extras.ivf import build_ivf, ivf_topk, load_ivf
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ivf_dir = _index_dir_for(sf_dir) + "_ivf"
+    if os.path.exists(os.path.join(ivf_dir, "centroids.npy")):
+        ix = load_ivf(ivf_dir)
+    else:
+        ix = build_ivf(rd.read_parquet(emb_path), ivf_dir, n_centroids=16, seed=5)
+    tbl = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    qv = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    res = ivf_topk(ix, qv, 10, nprobe=ix.n_centroids)[0]
+    return pd.DataFrame(
+        [{"vec_id": v, "score": round(s, 6)} for v, s in res],
+        columns=["vec_id", "score"],
+    )
+
+
 def _q_pca_reduced(sf_dir: str):
     """Fit-on-sample PCA + broadcast transform (reference MultiDim
     dimensionality-reduce, app/MultiDim.py:226-246) over the embeddings
@@ -638,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "minhash_pairs": _q_minhash_pairs,
+        "knn_ivf_full": _q_knn_ivf_full,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -888,6 +915,21 @@ def oracle_sql() -> dict[str, str]:
                 WHEN c_es >= c_fr THEN 'es'
                 ELSE 'fr' END AS lang_pred
             FROM c
+        """,
+        # nprobe = n_centroids reads every IVF partition => provably the
+        # exhaustive scan (pytest-pinned), so brute-force cosine SQL is
+        # the oracle for the whole IVF machinery
+        "knn_ivf_full": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(qe AS DOUBLE[]) FROM q)), 6) AS score
+            FROM embeddings e
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            (SELECT CAST(qe AS DOUBLE[]) FROM q)) DESC,
+                     e.vec_id ASC
+            LIMIT 10
         """,
         # exact 5-gram-token Jaccard >= 0.5 over all pairs; equals the
         # LSH-candidates + exact-verify pipeline whenever LSH recall is 1
