@@ -78,8 +78,22 @@ def csv_to_corpus(
     return assign_doc_ids(keyed).select_columns(["doc_id", "text"])
 
 
+# above this doc count build_from_pages stops pinning the materialized
+# corpus in the (spill-backed) object store for the whole build: the
+# corpus parquet is written FIRST (streaming) and the build re-reads it
+# from files — holding corpus-sized object-store state while ALSO
+# writing it to parquet doubles disk traffic at the 100x scale, and the
+# resume path already is the read-from-files code
+MATERIALIZE_DOC_LIMIT = 2_000_000
+
+
 def build_from_pages(
-    pages: rd.Dataset, out_dir: str, *, corpus_dir: str | None = None, **build_kwargs
+    pages: rd.Dataset,
+    out_dir: str,
+    *,
+    corpus_dir: str | None = None,
+    materialize_threshold: int = MATERIALIZE_DOC_LIMIT,
+    **build_kwargs,
 ) -> Manifest:
     """Full ingest + index build from a pages Dataset.
 
@@ -89,6 +103,14 @@ def build_from_pages(
     corpus is itself persisted before the index build re-reads it.
     Without ``corpus_dir`` the Dataset pipeline stays lazy (small-corpus
     and test path).
+
+    Corpus persistence is size-gated: up to ``materialize_threshold``
+    docs the sorted corpus is materialized once and the checkpoint write
+    OVERLAPS the tokenize stage (fastest, holds corpus-sized object
+    store state); above it the checkpoint is written first and the build
+    streams from the files (the resume code path) so object-store
+    residency stays bounded. Both routes produce identical indexes
+    (pinned by ``tests/test_pages.py``).
     """
     if corpus_dir is None:
         corpus = pages_to_corpus(pages)
@@ -107,17 +129,28 @@ def build_from_pages(
         # doc_id = searchsorted -> extract (drops html) -> doc_id sort.
         from pyfuseray.docids import ingest_pages
 
-        with_ids, _ = ingest_pages(pages)
+        with_ids, n_docs = ingest_pages(pages)
         extracted = with_ids.map_batches(extract_batch, batch_format="pyarrow")
         # int sort by doc_id: tokenizer batches then cover contiguous doc
         # ranges, so SPIMI runs stay doc-disjoint and the segment merge is
         # pure concatenation (never the decode-merge fallback)
+        tmp_final = final + ".writing"
+        if os.path.exists(tmp_final):
+            shutil.rmtree(tmp_final)
+
+        if n_docs > materialize_threshold:
+            # write-first route: stream the sorted corpus straight to
+            # parquet (never resident as a whole), then build from files
+            extracted.sort("doc_id").write_parquet(tmp_final)
+            os.replace(tmp_final, final)
+            corpus = rd.read_parquet(final, columns=["doc_id", "text"])
+            return build_index(corpus, out_dir, n_docs=n_docs, **build_kwargs)
+
         corpus_mat = extracted.sort("doc_id").materialize()
         # the checkpoint write is pure disk work — overlap it with the
         # (CPU-bound) tokenize stage instead of serializing ahead of it.
         # The build consumes the materialized blocks straight from the
-        # object store (spill-backed, so this also holds for corpora
-        # bigger than memory); a resumed run reads the finished parquet.
+        # object store (spill-backed); a resumed run reads the parquet.
         import threading
 
         from pyfuseray.build import _pin_fsspec_http_stub
@@ -127,9 +160,6 @@ def build_from_pages(
         # eviction race, see _pin_fsspec_http_stub)
         _pin_fsspec_http_stub()
 
-        tmp_final = final + ".writing"
-        if os.path.exists(tmp_final):
-            shutil.rmtree(tmp_final)
         err: list[BaseException] = []
 
         def _write_corpus():
@@ -144,7 +174,7 @@ def build_from_pages(
         try:
             manifest = build_index(
                 corpus_mat.select_columns(["doc_id", "text"]), out_dir,
-                **build_kwargs,
+                n_docs=n_docs, **build_kwargs,
             )
         finally:
             writer.join()

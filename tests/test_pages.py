@@ -185,6 +185,45 @@ def test_ingest_routes_agree_on_warc_ts_ties():
     assert a[a["url"] == "http://e/a"]["text"].tolist() == [want]
 
 
+def test_build_from_pages_corpus_routes_identical(tmp_path):
+    """The size-gated corpus persistence (overlapped materialize+write
+    below the threshold vs write-parquet-first streaming above it) must
+    produce (a) a complete corpus checkpoint and (b) bit-identical
+    indexes: same bucket checksums, same posting counts, rank-identical
+    searches. Also covers the two-concurrent-driver-pipelines overlap
+    path that bench.py exercises (ADVICE r2)."""
+    tbl = synth_pages(150, seed=13, null_text_frac=0.25, dup_frac=0.1)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, path)
+
+    manifests = {}
+    for name, thresh in (("overlap", 10**9), ("write_first", 0)):
+        out = str(tmp_path / f"ix_{name}")
+        cdir = str(tmp_path / f"corpus_{name}")
+        m = build_from_pages(
+            rd.read_parquet(path), out, corpus_dir=cdir,
+            materialize_threshold=thresh, num_buckets=4, num_salts=2,
+            overwrite=True,
+        )
+        manifests[name] = (out, m)
+        # corpus checkpoint is complete and readable
+        corpus = rd.read_parquet(f"{cdir}/corpus").to_pandas()
+        assert len(corpus) == m.n_docs
+        assert corpus["doc_id"].is_unique
+
+    (out_a, ma), (out_b, mb) = manifests["overlap"], manifests["write_first"]
+    assert ma.n_docs == mb.n_docs
+    assert {k: (v["checksum"], v["n_postings"]) for k, v in ma.buckets.items()} == {
+        k: (v["checksum"], v["n_postings"]) for k, v in mb.buckets.items()
+    }
+    sa, sb = IndexSearcher(out_a), IndexSearcher(out_b)
+    for q in ["quick foxes", "flowers bloom spring", "webhot"]:
+        assert sa.search_bm25(q, 10, algorithm="wand") == sb.search_bm25(
+            q, 10, algorithm="wand"
+        ), q
+        assert sa.search_tfidf(q, 10) == sb.search_tfidf(q, 10), q
+
+
 def test_extreme_hot_term_with_salting(tmp_path):
     """Skew stress: a term in ~95% of docs, salted into 4 doc-range
     splits, must still merge to the exact posting list and rank
