@@ -244,6 +244,32 @@ def _bench_ivf(n_vecs: int = 200_000, dim: int = 64, n_queries: int = 8) -> dict
         )
         out[f"nprobe{nprobe}_recall_at10"] = round(recall, 3)
         out[f"nprobe{nprobe}_sec_per_query"] = round(sec / n_queries, 4)
+
+    # actor-resident searcher (partitions pinned in actor memory): the
+    # repeated-query latency tier — same results, no per-query file read
+    from pyfuseray.extras.ivf import ResidentIVF
+
+    t0 = time.perf_counter()
+    res = ResidentIVF(ix, n_shards=8)
+    out["resident_load_sec"] = round(time.perf_counter() - t0, 3)
+    try:
+        res.topk(queries, 10, nprobe=1)  # warm the actor call path
+        for nprobe in (1, 4, 8):
+            lats = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                approx = res.topk(queries, 10, nprobe=nprobe)
+                lats.append((time.perf_counter() - t0) / n_queries)
+            recall = statistics.mean(
+                len({v for v, _ in e} & {v for v, _ in a}) / 10
+                for e, a in zip(exact, approx)
+            )
+            out[f"resident_nprobe{nprobe}_recall_at10"] = round(recall, 3)
+            out[f"resident_nprobe{nprobe}_ms_per_query"] = round(
+                1000 * statistics.median(lats), 3
+            )
+    finally:
+        res.close()
     return out
 
 

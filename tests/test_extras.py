@@ -528,6 +528,31 @@ def test_ivf_range_consistency(tmp_path):
     assert hit and hit[0][0] == 3
 
 
+def test_resident_ivf_matches_parquet_path(tmp_path):
+    """The actor-resident searcher returns exactly what the
+    parquet-reading ivf_topk returns, at every nprobe (same normalized
+    float64 scores, same tie-break) — including nprobe = n_centroids,
+    which equals brute force."""
+    from pyfuseray.extras.ivf import ResidentIVF, build_ivf, ivf_topk
+
+    ds, vecs = _emb_ds(n=400, dim=16, seed=21)
+    ix = build_ivf(ds, str(tmp_path / "ivf"), n_centroids=16, seed=5)
+    res = ResidentIVF(ix, n_shards=3)
+    try:
+        queries = vecs[:6]
+        for nprobe in (1, 4, 16):
+            a = ivf_topk(ix, queries, 10, nprobe=nprobe)
+            b = res.topk(queries, 10, nprobe=nprobe)
+            for ra, rb in zip(a, b):
+                assert [v for v, _ in ra] == [v for v, _ in rb], nprobe
+                for (_, s1), (_, s2) in zip(ra, rb):
+                    # BLAS gemv blocking differs with matrix shape
+                    # (per-parquet-batch vs per-centroid): 1-ulp wiggle
+                    assert abs(s1 - s2) < 1e-12, nprobe
+    finally:
+        res.close()
+
+
 def test_ivf_prunes_partitions(tmp_path):
     """Sub-linear claim: an nprobe search must open only the probed
     centroid partitions, not the whole inverted file."""
