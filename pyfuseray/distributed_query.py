@@ -11,10 +11,13 @@ rows with the query set + collection stats broadcast once via
 distributed form of the reference's score-accumulation loop
 (reference ``app/InvertedIndexFinal.py:358-418``).
 
-Partitioning assumptions: the query-term table and the docstats arrays
-fit in the object store (ray.put broadcast). At 10^12-doc scale the
-docstats side would be partitioned by doc range and joined per block;
-the query-term broadcast stays tiny.
+Partitioning assumptions: the query-term table always broadcasts
+(tiny). Docstats has two modes — ``broadcast`` (default; dense dl/norm
+arrays via ``ray.put``, right while n_docs x 16 B fits a worker) and
+``ranged`` (the 10^12-doc shape: docstats rows ride a coarse
+doc-bucket shuffle and join the score partials per group, so no task
+ever holds more than a block of docstats). Both modes are
+rank-identical (pytest-pinned).
 """
 
 from __future__ import annotations
@@ -42,13 +45,23 @@ def bulk_search(
     scoring: str = "bm25",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    docstats_mode: str = "broadcast",
 ) -> pd.DataFrame:
     """Score every query against the whole index in one streaming pass.
 
     Returns a DataFrame (query_id, rank, doc_id, score) with canonical
     (-score, doc_id) per-query ordering — rank-identical to the
     interactive searcher.
+
+    ``docstats_mode='ranged'`` joins per-doc stats to the score partials
+    through a coarse doc-bucket shuffle instead of broadcasting dense
+    arrays — memory per task bounded by block size, not corpus size.
     """
+    if docstats_mode == "ranged":
+        return _bulk_search_ranged(
+            index_dir, queries, top_k, scoring=scoring, k1=k1, b=b
+        )
+    assert docstats_mode == "broadcast", docstats_mode
     m = load_manifest(index_dir)
     if m is None or not m.stage_done("done"):
         raise FileNotFoundError(f"no complete index manifest in {index_dir}")
@@ -173,6 +186,204 @@ def bulk_search(
     segments = rd.read_parquet(os.path.join(index_dir, "segments"))
     partials = segments.map_batches(score_stage, batch_format="pyarrow")
     ranked = partials.groupby("query_id").map_groups(topk_group, batch_format="pandas")
+    out = ranked.to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# coarse doc-bucket count for the ranged docstats join (same bounded-
+# group-count policy as the dedup family / hash_join)
+COARSE_DOC_GROUPS = 1024
+
+
+def _bulk_search_ranged(
+    index_dir: str,
+    queries: list[str],
+    top_k: int,
+    *,
+    scoring: str,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """The corpus-scale docstats shape: per-doc stats are never
+    broadcast. Score partials leave the segment pass WITHOUT dl/norm
+    (bm25 emits (idf, tf) per posting; tfidf emits the finished
+    w_td*w_tq contribution), then ONE coarse doc-bucket shuffle
+    co-locates them with the docstats rows of the same doc ids; each
+    group attaches dl/norm via vectorized searchsorted and finishes the
+    per-row score. Memory per task = one block, regardless of corpus
+    size. Rank-identical to the broadcast mode (same elementwise float
+    expressions; sums tolerate the usual reduce-order ulp)."""
+    m = load_manifest(index_dir)
+    if m is None or not m.stage_done("done"):
+        raise FileNotFoundError(f"no complete index manifest in {index_dir}")
+    n_docs, avgdl = m.n_docs, m.avgdl or 1.0
+    analyzer = Analyzer()
+    q_terms: dict[str, list[tuple[int, int]]] = {}
+    per_query_terms: list[dict[str, int]] = []
+    for qid, q in enumerate(queries):
+        tf = analyzer.preprocess_query(q)
+        per_query_terms.append(tf)
+        for t, f in tf.items():
+            q_terms.setdefault(t, []).append((qid, f))
+    q_ref = ray.put(q_terms)
+
+    def _coarse_doc(ids: np.ndarray) -> np.ndarray:
+        return (
+            ids.astype(np.uint64) * np.uint64(11400714819323198485) >> np.uint64(32)
+        ) % np.uint64(COARSE_DOC_GROUPS)
+
+    def _tbl(qid, did, x1, x2, side) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array(qid, pa.int64()),
+                "doc_id": pa.array(did, pa.int64()),
+                "x1": pa.array(x1, pa.float64()),
+                "x2": pa.array(x2, pa.float64()),
+                "side": pa.array(side, pa.int8()),
+                "_db": pa.array(
+                    _coarse_doc(np.asarray(did, dtype=np.int64)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def raw_stage(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        out_q, out_d, out_1, out_2 = [], [], [], []
+        terms = batch.column("term").to_pylist()
+        dfs = batch.column("df").to_numpy(zero_copy_only=False)
+        blobs = batch.column("blob").to_pylist()
+        offsets = batch.column("offset").to_pylist()
+        for term, df, blob, offs in zip(terms, dfs, blobs, offsets):
+            hits = qt.get(term)
+            if not hits:
+                continue
+            doc_ids, tfs = decode_postings(blob, np.asarray(offs, dtype=np.int64))
+            if scoring == "bm25":
+                idf = bm25_idf(float(df), n_docs)
+                for qid, _qtf in hits:
+                    out_q.append(np.full(doc_ids.size, qid, dtype=np.int64))
+                    out_d.append(doc_ids)
+                    out_1.append(np.full(doc_ids.size, idf, dtype=np.float64))
+                    out_2.append(tfs.astype(np.float64))
+            else:
+                w_td = tfidf_weight_vec(tfs, float(df), float(n_docs))
+                for qid, qtf in hits:
+                    w_tq = tfidf_weight(qtf, float(df), float(n_docs))
+                    out_q.append(np.full(doc_ids.size, qid, dtype=np.int64))
+                    out_d.append(doc_ids)
+                    out_1.append(w_td * w_tq)
+                    out_2.append(np.zeros(doc_ids.size))
+        if not out_q:
+            return _tbl([], [], [], [], [])
+        n = sum(a.size for a in out_q)
+        return _tbl(
+            np.concatenate(out_q), np.concatenate(out_d),
+            np.concatenate(out_1), np.concatenate(out_2),
+            np.zeros(n, dtype=np.int8),
+        )
+
+    stat_col = "dl" if scoring == "bm25" else "norm"
+
+    def stats_stage(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        x1 = batch.column(stat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = did.size
+        return _tbl(
+            np.full(n, -1, dtype=np.int64), did, x1, np.zeros(n),
+            np.ones(n, dtype=np.int8),
+        )
+
+    def join_group(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["side"].to_numpy()
+        stats = group[side == 1]
+        parts = group[side == 0]
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64"),
+             "partial": pd.Series(dtype="float64"),
+             "norm": pd.Series(dtype="float64")}
+        )
+        if parts.empty:
+            return empty
+        s_ids = stats["doc_id"].to_numpy()
+        s_val = stats["x1"].to_numpy()
+        order = np.argsort(s_ids, kind="stable")
+        s_ids, s_val = s_ids[order], s_val[order]
+        p_ids = parts["doc_id"].to_numpy()
+        pos = np.minimum(np.searchsorted(s_ids, p_ids), max(s_ids.size - 1, 0))
+        hit = s_ids[pos] == p_ids if s_ids.size else np.zeros(p_ids.size, bool)
+        stat = np.where(hit, s_val[pos] if s_ids.size else 0.0,
+                        avgdl if scoring == "bm25" else 1.0)
+        if scoring == "bm25":
+            idf = parts["x1"].to_numpy()
+            tfv = parts["x2"].to_numpy()
+            denom = tfv + k1 * (1.0 - b + b * stat / avgdl)
+            partial = idf * tfv * (k1 + 1.0) / denom
+            norm = np.ones(p_ids.size)
+        else:
+            partial = parts["x1"].to_numpy()
+            norm = stat
+        return pd.DataFrame(
+            {"query_id": parts["query_id"].to_numpy(), "doc_id": p_ids,
+             "partial": partial, "norm": norm}
+        )
+
+    # query norms (tfidf): few terms — point df lookups, driver-side
+    df_lookup: dict[str, int] = {}
+    if scoring == "tfidf":
+        import pyarrow.dataset as pads
+
+        df_tbl = pads.dataset(os.path.join(index_dir, "stats", "df.parquet")).to_table(
+            filter=pads.field("term").isin(list(q_terms))
+        )
+        df_lookup = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))
+
+    def _query_norm2(qid: int) -> float:
+        total = 0.0
+        for t, f in per_query_terms[qid].items():
+            df = df_lookup.get(t)
+            if df:
+                w = tfidf_weight(f, df, n_docs)
+                total += w * w
+        return total
+
+    def topk_group(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        docs = group["doc_id"].to_numpy()
+        scores = group["partial"].to_numpy(dtype=np.float64)
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        uniq, starts = np.unique(docs, return_index=True)
+        sums = np.add.reduceat(scores, starts)
+        if scoring == "tfidf":
+            qn = math.sqrt(_query_norm2(qid))
+            if qn > 0:
+                nrm = group["norm"].to_numpy(dtype=np.float64)[order][starts]
+                nz = nrm != 0
+                sums[nz] = sums[nz] / (qn * nrm[nz])
+        k = min(top_k, uniq.size)
+        idx = np.lexsort((uniq, -sums))[:k]
+        return pd.DataFrame(
+            {"query_id": qid, "rank": np.arange(k, dtype=np.int64),
+             "doc_id": uniq[idx], "score": sums[idx]}
+        )
+
+    segments = rd.read_parquet(os.path.join(index_dir, "segments"))
+    partials = segments.map_batches(raw_stage, batch_format="pyarrow")
+    docstats = rd.read_parquet(
+        os.path.join(index_dir, "stats", "docstats.parquet"),
+        columns=["doc_id", stat_col],
+    ).map_batches(stats_stage, batch_format="pyarrow")
+    scored = (
+        partials.union(docstats)
+        .groupby("_db")
+        .map_groups(join_group, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    ranked = scored.groupby("query_id").map_groups(topk_group, batch_format="pandas")
     out = ranked.to_pandas()
     if out.empty:
         return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
