@@ -2,9 +2,9 @@
 language-ID, quality scoring, document fingerprinting.
 
 All are vectorized-per-batch ``map_batches`` stages over the documents
-table; the SQL-expressible ones (token counts, fingerprint, quality
-score) have DuckDB oracles in ``__ray_entry__``; lang-ID is a
-rows-only-checked heuristic.
+table; every one of them (token counts, fingerprint, quality score,
+and lang-ID including its tie-break order) is hash-checked against a
+DuckDB SQL oracle in ``__ray_entry__``.
 """
 
 from __future__ import annotations
