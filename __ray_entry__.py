@@ -603,6 +603,41 @@ def _q_knn_ivf_full(sf_dir: str):
     )
 
 
+def _q_knn_graph_full(sf_dir: str):
+    """Per-partition graph ANN (extras/graph.py — the sharded HNSW-role
+    tier, reference app/MultiDim.py:152-166) in exactness mode: float64
+    vectors, entries for EVERY connected component, ef >= partition
+    size and nprobe = n_centroids — the beam search then provably
+    degrades to component-complete BFS over every partition, i.e. the
+    exhaustive scan. That makes brute-force cosine SQL the oracle for
+    the whole graph machinery: kNN-graph build -> bidirectional CSR ->
+    component entries -> beam traversal -> shard merge."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyfuseray.extras.graph import ResidentGraphIVF
+    from pyfuseray.extras.ivf import build_ivf, load_ivf
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ivf_dir = _index_dir_for(sf_dir) + "_ivf"
+    if os.path.exists(os.path.join(ivf_dir, "centroids.npy")):
+        ix = load_ivf(ivf_dir)
+    else:
+        ix = build_ivf(rd.read_parquet(emb_path), ivf_dir, n_centroids=16, seed=5)
+    tbl = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    qv = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    g = ResidentGraphIVF(ix, n_shards=2, m=8, dtype="float64",
+                         max_entries=1 << 30)
+    try:
+        res = g.topk(qv, 10, nprobe=ix.n_centroids, ef=1 << 30, beam=64)[0]
+    finally:
+        g.close()
+    return pd.DataFrame(
+        [{"vec_id": v, "score": round(s, 6)} for v, s in res],
+        columns=["vec_id", "score"],
+    )
+
+
 def _q_pca_reduced(sf_dir: str):
     """Fit-on-sample PCA + broadcast transform (reference MultiDim
     dimensionality-reduce, app/MultiDim.py:226-246) over the embeddings
@@ -674,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_search_bm25": _q_bulk_search_bm25,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_graph_full": _q_knn_graph_full,
         "pca_reduced": _q_pca_reduced,
         "multimodal_features": _q_multimodal_features,
     }
@@ -920,6 +956,21 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive scan (pytest-pinned), so brute-force cosine SQL is
         # the oracle for the whole IVF machinery
         "knn_ivf_full": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(qe AS DOUBLE[]) FROM q)), 6) AS score
+            FROM embeddings e
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            (SELECT CAST(qe AS DOUBLE[]) FROM q)) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
+        # exactness-mode graph tier (float64, all-component entries,
+        # ef >= |partition|, nprobe = n_centroids) is provably the
+        # exhaustive scan — same brute-force oracle as knn_ivf_full
+        "knn_graph_full": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
                    round(list_cosine_similarity(
