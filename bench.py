@@ -88,17 +88,29 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # -- headline: pages ingest + index build ------------------------------
+    # best-of-N: the sandbox host is shared and identical builds vary by
+    # up to ~40% run-to-run (measured 27.1 / 38.8 / 28.9 s for the same
+    # commit back-to-back); min-of-2 reports the code, not the neighbor.
+    # Large corpora (scaling runs) stay single-shot — at 1.2M pages the
+    # job is long enough to average the noise out.
     ix_pages = f"/tmp/pyfuseray_bench_ix_{num_cpus}"
-    t0 = time.perf_counter()
-    build_from_pages(
-        rd.read_parquet(pages_path),
-        ix_pages,
-        corpus_dir=f"/tmp/pyfuseray_bench_corpus_{num_cpus}",
-        num_buckets=8,
-        overwrite=True,
+    n_build_runs = int(
+        os.environ.get("PYFUSERAY_BENCH_BUILD_RUNS", "2" if n_pages <= 100_000 else "1")
     )
-    t_build_pages = time.perf_counter() - t0
+    build_runs: list[float] = []
+    for _ in range(n_build_runs):
+        t0 = time.perf_counter()
+        build_from_pages(
+            rd.read_parquet(pages_path),
+            ix_pages,
+            corpus_dir=f"/tmp/pyfuseray_bench_corpus_{num_cpus}",
+            num_buckets=8,
+            overwrite=True,
+        )
+        build_runs.append(time.perf_counter() - t0)
+    t_build_pages = min(build_runs)
     timings["build_pages"] = round(t_build_pages, 3)
+    timings["build_pages_runs"] = [round(t, 3) for t in build_runs]
 
     # -- documents corpus build (driver testdata) --------------------------
     docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -174,6 +186,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_pages": n_pages,
         "n_docs_sf": n_docs_sf,
+        "build_pages_runs": timings["build_pages_runs"],
         "docs_per_sec_pages": round(n_pages / t_build_pages, 1),
         "build_documents_sec": timings["build_documents"],
         "docs_per_sec_documents": round(n_docs_sf / timings["build_documents"], 1),
@@ -270,6 +283,33 @@ def _bench_ivf(n_vecs: int = 200_000, dim: int = 64, n_queries: int = 8) -> dict
             )
     finally:
         res.close()
+
+    # graph tier (per-partition kNN graph + beam search): per-query work
+    # is ~ef*M vectors regardless of partition size — the 100-TB-regime
+    # latency path. Compare at the same nprobe points as the flat scans.
+    from pyfuseray.extras.graph import ResidentGraphIVF
+
+    t0 = time.perf_counter()
+    g = ResidentGraphIVF(ix, n_shards=8, m=16)
+    out["graph_build_sec"] = round(time.perf_counter() - t0, 3)
+    try:
+        g.topk(queries, 10, nprobe=1)  # warm the actor call path
+        for nprobe in (1, 4, 8):
+            lats = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                approx = g.topk(queries, 10, nprobe=nprobe, ef=96, beam=16)
+                lats.append((time.perf_counter() - t0) / n_queries)
+            recall = statistics.mean(
+                len({v for v, _ in e} & {v for v, _ in a}) / 10
+                for e, a in zip(exact, approx)
+            )
+            out[f"graph_nprobe{nprobe}_recall_at10"] = round(recall, 3)
+            out[f"graph_nprobe{nprobe}_ms_per_query"] = round(
+                1000 * statistics.median(lats), 3
+            )
+    finally:
+        g.close()
     return out
 
 
