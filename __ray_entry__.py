@@ -104,6 +104,12 @@ def _q_token_counts(sf_dir: str):
     return token_counts(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_token_counts_bpe(sf_dir: str):
+    from pyfuseray.extras.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_df_unstemmed(sf_dir: str):
     """Oracle-parity helper, NOT the production path: the per-row token
     loop below exists to mirror the DuckDB SQL exactly at sf0.01 scale.
@@ -678,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checkable
         "token_counts": _q_token_counts,
+        "token_counts_bpe": _q_token_counts_bpe,
         "df_unstemmed": _q_df_unstemmed,
         "postings_unstemmed": _q_postings_unstemmed,
         "dedup_exact": _q_dedup_exact,
@@ -756,9 +763,21 @@ _LANG_SQL_MARKERS = {
 
 
 def oracle_sql() -> dict[str, str]:
+    from pyfuseray.extras.textstats import BPE_ISH_PATTERN, WS_TOKEN_PATTERN
+
+    bpe_pat = BPE_ISH_PATTERN.replace("'", "''")
+    ws_pat = WS_TOKEN_PATTERN.replace("'", "''")
     return {
         "token_counts": f"""
             SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "token_counts_bpe": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '{ws_pat}')) AS BIGINT)
+                       AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '{bpe_pat}')) AS BIGINT)
+                       AS n_tokens_bpe
             FROM documents
         """,
         "df_unstemmed": f"""

@@ -41,6 +41,26 @@ SELECTIVE_QUERIES = [
 ]
 
 
+def _proc_stat() -> list[int]:
+    # user nice system idle iowait irq softirq steal
+    return [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+
+
+def _host_share(s0: list[int], s1: list[int]) -> dict:
+    """CPU accounting across a timed section: this sandbox is a VM on a
+    SHARED host whose neighbors come and go (measured 27-39 s for
+    identical back-to-back builds; one window even ran 32 CPUs slower
+    than 8). steal_pct > ~10 means the number measured the neighbor,
+    not the code — every recorded timing carries this context."""
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = sum(d) or 1
+    return {
+        "user_pct": round(100 * (d[0] + d[1] + d[2]) / tot, 1),
+        "idle_pct": round(100 * d[3] / tot, 1),
+        "steal_pct": round(100 * d[7] / tot, 1),
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -98,7 +118,9 @@ def run_bench() -> dict:
         os.environ.get("PYFUSERAY_BENCH_BUILD_RUNS", "2" if n_pages <= 100_000 else "1")
     )
     build_runs: list[float] = []
+    build_hosts: list[dict] = []
     for _ in range(n_build_runs):
+        s0 = _proc_stat()
         t0 = time.perf_counter()
         build_from_pages(
             rd.read_parquet(pages_path),
@@ -108,9 +130,11 @@ def run_bench() -> dict:
             overwrite=True,
         )
         build_runs.append(time.perf_counter() - t0)
+        build_hosts.append(_host_share(s0, _proc_stat()))
     t_build_pages = min(build_runs)
     timings["build_pages"] = round(t_build_pages, 3)
     timings["build_pages_runs"] = [round(t, 3) for t in build_runs]
+    timings["build_pages_host"] = build_hosts
 
     # -- documents corpus build (driver testdata) --------------------------
     docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -187,6 +211,7 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "n_docs_sf": n_docs_sf,
         "build_pages_runs": timings["build_pages_runs"],
+        "build_pages_host": timings["build_pages_host"],
         "docs_per_sec_pages": round(n_pages / t_build_pages, 1),
         "build_documents_sec": timings["build_documents"],
         "docs_per_sec_documents": round(n_docs_sf / timings["build_documents"], 1),
@@ -370,6 +395,12 @@ def run_scaling() -> dict:
         "docs_per_sec_lo": r_lo["docs_per_sec_pages"],
         "docs_per_sec_hi": r_hi["docs_per_sec_pages"],
         "n_pages": r_lo["n_pages"],
+        # host context per leg (see _host_share): a leg with high
+        # steal_pct measured the neighbors, not the scaling
+        "runs_lo": r_lo.get("build_pages_runs"),
+        "runs_hi": r_hi.get("build_pages_runs"),
+        "host_lo": r_lo.get("build_pages_host"),
+        "host_hi": r_hi.get("build_pages_host"),
     }
 
 

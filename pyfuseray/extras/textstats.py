@@ -43,6 +43,43 @@ def token_count_stage(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pretokenizer shape (contractions | space?-letter-run |
+# space?-digit-run | space?-punct-run), restricted to constructs whose
+# semantics are IDENTICAL in Python re and DuckDB's RE2 so the count is
+# SQL-checkable: explicit ASCII whitespace classes (RE2's \s is
+# ASCII-only while Python's is unicode — never use \s here) and
+# disjoint-by-first-character alternatives (so leftmost-first vs
+# leftmost-longest cannot disagree).
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[a-zA-Z]+"
+    r"| ?[0-9]+"
+    r"| ?[^ \t\n\r\f\va-zA-Z0-9]+"
+)
+_BPE_ISH = re.compile(BPE_ISH_PATTERN)
+# "whitespace token" = maximal run of non-whitespace (ASCII classes only,
+# same reason as above)
+WS_TOKEN_PATTERN = r"[^ \t\n\r\f\v]+"
+_WS_TOKEN = re.compile(WS_TOKEN_PATTERN)
+
+
+def bpe_token_count_stage(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens_ws, n_tokens_bpe): whitespace token count plus a
+    BPE-ish pretokenizer match count — the two counts a training-data
+    pipeline budgets by. Hash-checked against a DuckDB
+    ``regexp_extract_all`` oracle (``token_counts_bpe``)."""
+    texts = batch.column("text").to_pylist()
+    ws = [len(_WS_TOKEN.findall(t or "")) for t in texts]
+    bpe = [len(_BPE_ISH.findall(t or "")) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens_ws": pa.array(ws, type=pa.int64()),
+            "n_tokens_bpe": pa.array(bpe, type=pa.int64()),
+        }
+    )
+
+
 def fingerprint_stage(batch: pa.Table) -> pa.Table:
     """(doc_id, fingerprint): md5 of whitespace-normalized lowercased text."""
     fps = [
@@ -140,6 +177,10 @@ def zlib_crc(t: str) -> int:
 
 def token_counts(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(token_count_stage, batch_format="pyarrow")
+
+
+def bpe_token_counts(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(bpe_token_count_stage, batch_format="pyarrow")
 
 
 def fingerprints(ds: rd.Dataset) -> rd.Dataset:

@@ -38,7 +38,9 @@ def df_dataset(segments: rd.Dataset) -> rd.Dataset:
 DOC_BUCKET = 4096
 
 
-def docstats_dataset(segments: rd.Dataset, n_docs: int) -> rd.Dataset:
+def docstats_dataset(
+    segments: rd.Dataset, n_docs: int, *, batch_size: int = 256
+) -> rd.Dataset:
     """(doc_id, dl, norm): doc length AND exact final-df cosine norm in
     ONE decode pass + ONE doc_id-keyed shuffle over the (compressed)
     segments — dl = sum(tf), norm = sqrt(sum w^2) with zero -> 1.
@@ -121,10 +123,16 @@ def docstats_dataset(segments: rd.Dataset, n_docs: int) -> rd.Dataset:
     # explicit batch_size: segment blocks/files are tiny (term-sorted
     # writes produce ~dozen-row blocks), and per-block batches make the
     # map-side combine collapse nothing — one partial row per POSTING
-    # goes through the shuffle. At ~1024 terms/batch each batch covers
-    # most doc ids, so the combine emits ~n_docs rows per batch instead
-    # (measured 60M -> ~4M shuffle rows on the 400k-page bench corpus).
+    # goes through the shuffle. Each ~256-term batch still covers most
+    # doc ids, so the combine emits ~n_docs rows per batch instead
+    # (60M postings -> bounded shuffle rows on the 400k-page corpus).
+    # 256 over 1024: 4x the tasks (load balance at 32 CPUs — the 20k-row
+    # segment table at bs=1024 is only ~20 tasks) AND each batch's
+    # lexsort/unique runs on ~1.2M elements instead of ~4.8M, which is
+    # superlinearly cheaper and cache-resident. Measured on the same
+    # on-disk 400k-page index: 32 CPUs 20.0 -> 10.5 s, 8 CPUs
+    # 26.4 -> 17.5 s (bs=128 is not better; bs=2048 is 2-3x worse).
     rows = segments.map_batches(
-        tf_w2_partials, batch_format="pyarrow", batch_size=1024
+        tf_w2_partials, batch_format="pyarrow", batch_size=batch_size
     )
     return rows.groupby("doc_bucket").map_groups(bucket_stats, batch_format="numpy")

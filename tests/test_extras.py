@@ -698,6 +698,41 @@ def test_token_counts():
     assert got == {0: 3, 1: 0, 2: 2}
 
 
+def test_bpe_token_counts_match_duckdb():
+    """The BPE-ish pretokenizer count must agree with the DuckDB RE2
+    oracle on contraction / punctuation / unicode / whitespace edge
+    cases — this parity IS the contract (`token_counts_bpe`)."""
+    import duckdb
+
+    from pyfuseray.extras.textstats import (
+        BPE_ISH_PATTERN,
+        WS_TOKEN_PATTERN,
+        bpe_token_counts,
+    )
+
+    texts = [
+        "can't stop won're 's",
+        "price: $1,234.56!",
+        "naïve café — em—dash",
+        "tab\there\nnewline",
+        "don'tdon's",
+        "' x' 'x mixed'll'd've",
+        "",
+        "   ",
+        None,
+    ]
+    out = bpe_token_counts(_doc_ds(texts)).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want_ws, want_bpe = con.execute(
+            "SELECT len(regexp_extract_all(coalesce(?, ''), ?)),"
+            "       len(regexp_extract_all(coalesce(?, ''), ?))",
+            [t, WS_TOKEN_PATTERN, t, BPE_ISH_PATTERN],
+        ).fetchone()
+        row = out[out["doc_id"] == i].iloc[0]
+        assert (row["n_tokens_ws"], row["n_tokens_bpe"]) == (want_ws, want_bpe), t
+
+
 def test_lang_id():
     texts = [
         "the cat and the dog sat in the garden for an hour with the birds",
