@@ -136,6 +136,20 @@ def run_bench() -> dict:
     timings["build_pages_runs"] = [round(t, 3) for t in build_runs]
     timings["build_pages_host"] = build_hosts
 
+    # scaling legs only need the headline build — skip the documents /
+    # query / ANN / dedup sections so interleaved repetitions are cheap
+    if os.environ.get("PYFUSERAY_BENCH_ONLY_BUILD"):
+        return {
+            "metric": "pages index build wall time (build-only leg)",
+            "value": round(t_build_pages, 3),
+            "unit": "sec",
+            "num_cpus": num_cpus,
+            "n_pages": n_pages,
+            "build_pages_runs": timings["build_pages_runs"],
+            "build_pages_host": timings["build_pages_host"],
+            "docs_per_sec_pages": round(n_pages / t_build_pages, 1),
+        }
+
     # -- documents corpus build (driver testdata) --------------------------
     docs_path = os.path.join(sf_dir, "documents.parquet")
     n_docs_sf = pq.ParquetFile(docs_path).metadata.num_rows
@@ -368,10 +382,11 @@ def _bench_dedup(corpus_dir: str) -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PYFUSERAY_BENCH_ONLY_BUILD="1")
         # scaling runs use a corpus big enough that compute + shuffle
         # dominate the single node's fixed disk/driver overheads at both
-        # CPU counts (the N vs 4N cluster proxy; ~12 min total)
+        # CPU counts (the N vs 4N cluster proxy)
         env.setdefault("PYFUSERAY_BENCH_DOCS", "1200000")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -381,7 +396,21 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("PYFUSERAY_SCALE_LO", "4"))
     hi = int(os.environ.get("PYFUSERAY_SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    # INTERLEAVED rounds (lo,hi,lo,hi,...), efficiency from per-leg MINs:
+    # the shared host drifts on a minutes-to-hours cadence (measured legs
+    # flipping 2x between windows, one window even ran 32 CPUs slower
+    # than 8 end-to-end), so adjacent lo/hi pairs + min-aggregation is
+    # the only layout whose ratio survives the drift. Every raw run and
+    # its /proc/stat share ship in the output so a polluted window is
+    # visible rather than silently averaged in.
+    rounds = int(os.environ.get("PYFUSERAY_SCALE_ROUNDS", "2"))
+    runs_lo: list[dict] = []
+    runs_hi: list[dict] = []
+    for _ in range(rounds):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -395,12 +424,13 @@ def run_scaling() -> dict:
         "docs_per_sec_lo": r_lo["docs_per_sec_pages"],
         "docs_per_sec_hi": r_hi["docs_per_sec_pages"],
         "n_pages": r_lo["n_pages"],
+        "rounds": rounds,
         # host context per leg (see _host_share): a leg with high
         # steal_pct measured the neighbors, not the scaling
-        "runs_lo": r_lo.get("build_pages_runs"),
-        "runs_hi": r_hi.get("build_pages_runs"),
-        "host_lo": r_lo.get("build_pages_host"),
-        "host_hi": r_hi.get("build_pages_host"),
+        "runs_lo": [t for r in runs_lo for t in (r.get("build_pages_runs") or [])],
+        "runs_hi": [t for r in runs_hi for t in (r.get("build_pages_runs") or [])],
+        "host_lo": [h for r in runs_lo for h in (r.get("build_pages_host") or [])],
+        "host_hi": [h for r in runs_hi for h in (r.get("build_pages_host") or [])],
     }
 
 

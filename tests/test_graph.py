@@ -43,6 +43,30 @@ def test_knn_graph_chunking_invariant():
     assert np.array_equal(a, b)
 
 
+def test_nn_descent_recall_vs_exact():
+    """The approximate neighbor-list build used above EXACT_BUILD_LIMIT
+    must land close to the exact kNN graph — beam-search recall degrades
+    smoothly with graph quality, so pin mean neighbor recall and
+    determinism here (n=4096 forces the real NN-descent path: the
+    small-n shortcut kicks in at max(2048, 4m))."""
+    from pyfuseray.extras.graph import nn_descent
+
+    m = 16
+    vecs, _ = _clustered(4096, dim=32, n_clusters=6, seed=3)
+    exact = knn_graph(vecs, m)
+    approx = nn_descent(vecs, m, seed=7)
+    assert approx.shape == exact.shape
+    # no self-edges, ids in range
+    assert not np.any(approx == np.arange(4096)[:, None])
+    assert approx.min() >= 0 and approx.max() < 4096
+    recall = np.mean(
+        [len(set(a) & set(e)) / m for a, e in zip(approx.tolist(), exact.tolist())]
+    )
+    assert recall >= 0.85, recall
+    # deterministic for a fixed seed
+    assert np.array_equal(approx, nn_descent(vecs, m, seed=7))
+
+
 def test_bidirectional_csr_contains_fwd_and_reverse():
     vecs, _ = _clustered(200, seed=3)
     nbrs = knn_graph(vecs, 4)
