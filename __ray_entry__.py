@@ -514,6 +514,59 @@ def _q_bulk_search_bm25(sf_dir: str):
     return out
 
 
+# multiword queries over the documents vocabulary, no repeated words
+# (BM25 ignores query-term multiplicity; keep the SQL mirror trivial)
+SIMPLE_BM25_QUERIES = ["fast scan merge", "query data stream", "batch window value"]
+
+# the same query set as a SQL VALUES list, tokenized with the same
+# simple-analyzer regex the index build uses
+import re as _re
+
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, q in enumerate(SIMPLE_BM25_QUERIES)
+    for t in dict.fromkeys(_re.findall(r"[a-z0-9]+", q.lower()))
+)
+
+
+def _ensure_simple_index(sf_dir: str) -> str:
+    """Documents index under the SQL-mirrorable 'simple' analyzer."""
+    from pyfuseray.build import build_index
+    from pyfuseray.checkpoint import load_manifest
+
+    out = _index_dir_for(sf_dir) + "_simple"
+    m = load_manifest(out)
+    if m is None or not m.stage_done("done"):
+        corpus = _docs(sf_dir).select_columns(["doc_id", "text"])
+        build_index(corpus, out, num_buckets=4, num_salts=2, analyzer="simple")
+    return out
+
+
+def _q_bm25_topk_simple(sf_dir: str):
+    """The FULL production path — tokenize -> SPIMI runs -> segment
+    merge -> df/avgdl/doclen stats -> distributed BM25 scatter-gather ->
+    top-k — hash-checked value-for-value against a from-scratch BM25
+    oracle in DuckDB. Runs under the 'simple' analyzer mode (lowercase
+    ``[a-z0-9]+``; no stoplist/stem), the chain SQL can mirror exactly.
+
+    Ranking shim: both sides rank by (round(score, 6) DESC, doc_id) —
+    the production path overfetches then re-ranks on the rounded score
+    so sub-ulp float sum-order differences between numpy and DuckDB
+    cannot flip a tie at the k boundary.
+    """
+    from pyfuseray.distributed_query import bulk_search
+
+    ix = _ensure_simple_index(sf_dir)
+    raw = bulk_search(ix, SIMPLE_BM25_QUERIES, top_k=50, scoring="bm25")
+    raw["score"] = raw["score"].round(6)
+    raw = raw.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    raw["rank"] = raw.groupby("query_id").cumcount()
+    out = raw[raw["rank"] < 10].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
 def _q_minhash_pairs(sf_dir: str):
     """Banded MinHash-LSH candidates -> distributed exact n-gram-Jaccard
     verify (threshold 0.5). Oracle = the exact all-pairs 5-gram Jaccard
@@ -707,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "minhash_pairs": _q_minhash_pairs,
         "knn_ivf_full": _q_knn_ivf_full,
+        "bm25_topk_simple": _q_bm25_topk_simple,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1000,6 +1054,53 @@ def oracle_sql() -> dict[str, str]:
                                             (SELECT CAST(qe AS DOUBLE[]) FROM q)) DESC,
                      e.vec_id ASC
             LIMIT 10
+        """,
+        # from-scratch BM25 (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1),
+        # pyfuseray/scoring.py) over simple tokens, entirely in SQL: the
+        # production tokenize->SPIMI->merge->stats->score->top-k path is
+        # hash-checked value-for-value. N counts ALL documents rows;
+        # avgdl = total tokens / N; rank by (round(score,6) DESC, doc_id)
+        # on both sides (see _q_bm25_topk_simple).
+        "bm25_topk_simple": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest({_TOK}) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            consts AS (
+                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                       (SELECT sum(tf) FROM tf)
+                           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+            ),
+            q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+            scores AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum(ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                           * tf.tf * (1.2 + 1.0)
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * dl.dl / c.avgdl))) AS score
+                FROM q
+                JOIN tf USING (term)
+                JOIN df USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN consts c
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT query_id, doc_id, round(score, 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM scores
+            ) WHERE rank < 10
+            ORDER BY query_id, rank
         """,
         # exact 5-gram-token Jaccard >= 0.5 over all pairs; equals the
         # LSH-candidates + exact-verify pipeline whenever LSH recall is 1

@@ -136,3 +136,44 @@ class Analyzer:
             if len(tok) > 1:
                 freq[tok] += 1
         return dict(freq)
+
+
+_SIMPLE_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+class SimpleAnalyzer:
+    """SQL-mirrorable analyzer: lowercase + ``[a-z0-9]+`` runs. No
+    stoplist, no stemming, symmetric build/query sides.
+
+    Exists so the FULL production path — tokenize -> SPIMI runs ->
+    segment merge -> df/avgdl/doclen stats -> BM25 scoring -> top-k —
+    can be hash-checked value-for-value against a DuckDB oracle
+    (``regexp_extract_all(lower(text), '[a-z0-9]+')``), which cannot
+    express the reference chain's Treebank contractions / stoplist /
+    Porter2 steps. Same duck-typed interface as :class:`Analyzer`.
+    """
+
+    def tokenize(self, text: str) -> list[str]:
+        return _SIMPLE_TOKEN.findall(text.lower())
+
+    def process_text(self, text: str) -> list[str]:
+        return self.tokenize(text)
+
+    def term_frequencies(self, text: str) -> dict[str, int]:
+        return dict(Counter(self.tokenize(text)))
+
+    def preprocess_query(self, text: str) -> dict[str, int]:
+        return dict(Counter(self.tokenize(text)))
+
+
+# analyzer-mode registry: the mode is recorded in the index manifest so
+# the query side always analyzes with the chain the index was built with
+ANALYZERS: dict[str, type] = {"reference": Analyzer, "simple": SimpleAnalyzer}
+
+
+def make_analyzer(name: str = "reference"):
+    """Construct an analyzer by manifest mode name."""
+    try:
+        return ANALYZERS[name]()
+    except KeyError:
+        raise ValueError(f"unknown analyzer mode {name!r}; known: {sorted(ANALYZERS)}")

@@ -136,6 +136,7 @@ def build_index(
     block_size: int | None = None,
     bucket_parallelism: int = 4,
     overwrite: bool = False,
+    analyzer: str = "reference",
 ) -> Manifest:
     """Build (or resume building) an index from a (doc_id, text) Dataset."""
     _pin_fsspec_http_stub()
@@ -168,6 +169,11 @@ def build_index(
             raise ValueError(
                 f"resume with num_salts={num_salts} != manifest {m.num_salts}"
             )
+        if m.analyzer != analyzer:
+            raise ValueError(
+                f"resume with analyzer={analyzer!r} != manifest {m.analyzer!r}"
+            )
+    m.analyzer = analyzer
     m.n_docs = n_docs
     m.num_buckets = num_buckets
     m.num_salts = num_salts
@@ -210,6 +216,7 @@ def build_index(
                 fn_constructor_kwargs={
                     "num_buckets": num_buckets,
                     "block_size": block_size,
+                    "analyzer": analyzer,
                 },
                 batch_format="pyarrow",
                 batch_size=tokenizer_batch_size,
@@ -220,7 +227,8 @@ def build_index(
             # pool cold start (see postings.tokenize_batch)
             postings = corpus.map_batches(
                 tokenize_batch,
-                fn_kwargs={"num_buckets": num_buckets, "block_size": block_size},
+                fn_kwargs={"num_buckets": num_buckets, "block_size": block_size,
+                           "analyzer": analyzer},
                 batch_format="pyarrow",
                 batch_size=tokenizer_batch_size,
             )

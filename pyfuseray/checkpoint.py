@@ -56,6 +56,10 @@ class Manifest:
     block_size: int = 0
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
+    # analyzer mode the postings were tokenized with ("reference" |
+    # "simple"); the query side MUST analyze with the same chain.
+    # Pre-existing manifests load as "reference" (the only mode then).
+    analyzer: str = "reference"
     stages: dict[str, dict[str, Any]] = field(default_factory=dict)
     buckets: dict[str, dict[str, Any]] = field(default_factory=dict)
 

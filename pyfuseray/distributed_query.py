@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from pyfuseray.analyzer import Analyzer
+from pyfuseray.analyzer import make_analyzer
 from pyfuseray.checkpoint import load_manifest
 from pyfuseray.codec import decode_postings
 from pyfuseray.scoring import BM25_B, BM25_K1, bm25_idf, tfidf_weight, tfidf_weight_vec
@@ -66,7 +66,7 @@ def bulk_search(
     if m is None or not m.stage_done("done"):
         raise FileNotFoundError(f"no complete index manifest in {index_dir}")
     n_docs, avgdl = m.n_docs, m.avgdl or 1.0
-    analyzer = Analyzer()
+    analyzer = make_analyzer(m.analyzer)
 
     # driver-side: per-query term weights (tiny) --------------------------
     q_terms: dict[str, list[tuple[int, int]]] = {}  # term -> [(query_id, qtf)]
@@ -219,7 +219,7 @@ def _bulk_search_ranged(
     if m is None or not m.stage_done("done"):
         raise FileNotFoundError(f"no complete index manifest in {index_dir}")
     n_docs, avgdl = m.n_docs, m.avgdl or 1.0
-    analyzer = Analyzer()
+    analyzer = make_analyzer(m.analyzer)
     q_terms: dict[str, list[tuple[int, int]]] = {}
     per_query_terms: list[dict[str, int]] = []
     for qid, q in enumerate(queries):

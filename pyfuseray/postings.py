@@ -32,7 +32,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from pyfuseray.analyzer import Analyzer
+from pyfuseray.analyzer import make_analyzer
 from pyfuseray.codec import BLOCK_SIZE, varbyte_encode
 
 DEFAULT_NUM_BUCKETS = 8
@@ -163,12 +163,12 @@ def encode_runs(
 
 # per-worker-process TokenizerStage cache for the plain-function
 # map_batches path (tokenize_batch below)
-_STAGE_CACHE: dict[tuple[int, int], "TokenizerStage"] = {}
+_STAGE_CACHE: dict[tuple[int, int, str], "TokenizerStage"] = {}
 
 
 def tokenize_batch(
     batch: pa.Table, *, num_buckets: int = DEFAULT_NUM_BUCKETS,
-    block_size: int | None = None,
+    block_size: int | None = None, analyzer: str = "reference",
 ) -> pa.Table:
     """Plain-function tokenizer for ``map_batches`` (task path).
 
@@ -179,10 +179,10 @@ def tokenize_batch(
     spawn ~30 fresh actor processes for a stage that only runs ~15 s).
     Semantically identical to ``TokenizerStage`` (reference state T1:
     setup once per worker, work per batch)."""
-    key = (num_buckets, block_size or BLOCK_SIZE)
+    key = (num_buckets, block_size or BLOCK_SIZE, analyzer)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
-        stage = _STAGE_CACHE[key] = TokenizerStage(num_buckets, block_size)
+        stage = _STAGE_CACHE[key] = TokenizerStage(num_buckets, block_size, analyzer)
     return stage(batch)
 
 
@@ -190,8 +190,8 @@ class TokenizerStage:
     """Actor-pool map_batches callable: (doc_id, text) -> run rows."""
 
     def __init__(self, num_buckets: int = DEFAULT_NUM_BUCKETS,
-                 block_size: int | None = None):
-        self.analyzer = Analyzer()
+                 block_size: int | None = None, analyzer: str = "reference"):
+        self.analyzer = make_analyzer(analyzer)
         self.num_buckets = num_buckets
         self.block_size = block_size or BLOCK_SIZE
         self._bucket_memo: dict[str, int] = {}

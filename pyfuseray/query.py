@@ -28,7 +28,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow.dataset as pads
 
-from pyfuseray.analyzer import Analyzer
+from pyfuseray.analyzer import Analyzer, make_analyzer
 from pyfuseray.checkpoint import Manifest, load_manifest
 from pyfuseray.codec import decode_postings, decode_span
 from pyfuseray.postings import term_bucket
@@ -56,7 +56,8 @@ class IndexSearcher:
         if not os.path.isdir(os.path.join(index_dir, "segments")):
             raise FileNotFoundError(f"index manifest present but segments/ missing in {index_dir}")
         self.manifest: Manifest = m
-        self.analyzer = analyzer or Analyzer()
+        # analyze queries with the chain the index was built with
+        self.analyzer = analyzer or make_analyzer(m.analyzer)
         self._norm_vals: np.ndarray | None = None
         self._dl_vals: np.ndarray | None = None
         self._seg_datasets: dict[int, pads.Dataset] = {}
