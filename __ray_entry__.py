@@ -567,6 +567,38 @@ def _q_bm25_topk_simple(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
+def _q_incremental_df_simple(sf_dir: str):
+    """Incremental index maintenance, hash-checked: build a simple-mode
+    index over the first half of the documents table, ``add_documents``
+    the second half (tokenizes ONLY the new docs; merge + stats redone
+    over the union of postings generations — pyfuseray/incremental.py),
+    then return the final (term, df, cf) dictionary. The SQL oracle
+    computes the same dictionary over the FULL corpus, so a drift
+    anywhere in the add path (doc-range check, generation union, merge,
+    stats) breaks the hash."""
+    import ray.data as rd
+
+    from pyfuseray.build import build_index
+    from pyfuseray.checkpoint import load_manifest
+    from pyfuseray.incremental import add_documents
+
+    out = _index_dir_for(sf_dir) + "_incr"
+    m = load_manifest(out)
+    if m is None or not m.stage_done("done") or len(m.generations or []) < 2:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        half = docs.count() // 2
+        build_index(
+            docs.filter(expr=f"doc_id < {half}"), out,
+            num_buckets=4, num_salts=2, analyzer="simple",
+        )
+        add_documents(out, docs.filter(expr=f"doc_id >= {half}"))
+    tbl = rd.read_parquet(os.path.join(out, "stats", "df.parquet"))
+    return tbl.select_columns(["term", "df", "cf"]).to_pandas()
+
+
 def _q_minhash_pairs(sf_dir: str):
     """Banded MinHash-LSH candidates -> distributed exact n-gram-Jaccard
     verify (threshold 0.5). Oracle = the exact all-pairs 5-gram Jaccard
@@ -761,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "knn_ivf_full": _q_knn_ivf_full,
         "bm25_topk_simple": _q_bm25_topk_simple,
+        "incremental_df_simple": _q_incremental_df_simple,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1054,6 +1087,17 @@ def oracle_sql() -> dict[str, str]:
                                             (SELECT CAST(qe AS DOUBLE[]) FROM q)) DESC,
                      e.vec_id ASC
             LIMIT 10
+        """,
+        # the incremental-add result must equal the full-corpus simple-token
+        # dictionary: df = distinct docs per term, cf = total occurrences
+        "incremental_df_simple": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            )
+            SELECT term,
+                   count(DISTINCT doc_id) AS df,
+                   count(*) AS cf
+            FROM toks GROUP BY term
         """,
         # from-scratch BM25 (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1),
         # pyfuseray/scoring.py) over simple tokens, entirely in SQL: the

@@ -62,6 +62,10 @@ class Manifest:
     analyzer: str = "reference"
     stages: dict[str, dict[str, Any]] = field(default_factory=dict)
     buckets: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # postings generation dirs (relative to the index dir), oldest first.
+    # Empty means the single original "postings_raw" (pre-incremental
+    # manifests load this way). See pyfuseray/incremental.py.
+    generations: list[str] = field(default_factory=list)
 
     # -- stage bookkeeping -------------------------------------------------
     def stage_done(self, name: str) -> bool:

@@ -2,6 +2,7 @@
 
     python -m pyfuseray.cli build  --input pages.parquet --out /tmp/ix --pages
     python -m pyfuseray.cli build  --input documents.parquet --out /tmp/ix
+    python -m pyfuseray.cli add    --input more_documents.parquet --index /tmp/ix
     python -m pyfuseray.cli search --index /tmp/ix --query "quick fox" --scoring bm25
     python -m pyfuseray.cli sql    --index /tmp/ix --corpus corpus.parquet \
                                    "SELECT url FROM pages LIKE quick fox LIMIT 5"
@@ -55,6 +56,26 @@ def cmd_build(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_add(args: argparse.Namespace) -> int:
+    _ray_session()
+    import ray.data as rd
+
+    from pyfuseray.incremental import add_documents, finish_add
+
+    if args.finish:
+        m = finish_add(args.index)
+    else:
+        m = add_documents(
+            args.index, rd.read_parquet(args.input).select_columns(["doc_id", "text"])
+        )
+    print(json.dumps({
+        "n_docs": m.n_docs, "avgdl": round(m.avgdl, 3),
+        "total_postings": m.total_postings,
+        "generations": len(m.generations or []) or 1,
+    }))
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     from pyfuseray.query import IndexSearcher
 
@@ -91,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salts", type=int, default=None)
     b.add_argument("--overwrite", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("add", help="add documents to a built index in place")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", help="(doc_id, text) parquet; ids above indexed max")
+    a.add_argument("--finish", action="store_true",
+                   help="repair an interrupted add (redo merge from manifest)")
+    a.set_defaults(fn=cmd_add)
 
     s = sub.add_parser("search", help="query a built index")
     s.add_argument("--index", required=True)
