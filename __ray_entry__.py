@@ -567,6 +567,59 @@ def _q_bm25_topk_simple(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
+def _q_topk_docs_per_lang(sf_dir: str):
+    """Top-3 documents per language by (n_chars DESC, doc_id) — the
+    distributed argmax-k-per-group operator (map-side partial top-k
+    combiner + one coarse-bucket shuffle; pyfuseray/extras/grouptop.py).
+    Oracle: row_number() window."""
+    from pyfuseray.extras.grouptop import topk_per_group
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    out = topk_per_group(
+        docs, group_col="lang", order_col="n_chars", tie_col="doc_id", k=3
+    )
+    return (
+        out.select_columns(["lang", "rank", "doc_id", "n_chars"])
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_asof_last_purchase(sf_dir: str):
+    """As-of join (backward, allow-exact): every event matched to the
+    same user's most recent purchase at or before it
+    (pyfuseray/extras/asof.py — one coarse-key shuffle + vectorized
+    forward-fill per group). Oracle: DuckDB ASOF JOIN."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pyfuseray.extras.asof import asof_join
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("ts")
+        return batch.set_column(i, "t", batch.column("ts").cast(pa.int64()))
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).map_batches(to_us, batch_format="pyarrow")
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "t", "value"]
+    )
+    left = ev.select_columns(["event_id", "user_id", "t"])
+    out = asof_join(
+        left, purchases, on="t", by="user_id", right_cols=["t", "value"]
+    ).to_pandas()
+    out = out.rename(columns={"t_right": "purchase_t", "value": "purchase_value"})
+    out["purchase_value"] = out["purchase_value"].round(4)
+    return (
+        out[["event_id", "user_id", "t", "purchase_t", "purchase_value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_incremental_df_simple(sf_dir: str):
     """Incremental index maintenance, hash-checked: build a simple-mode
     index over the first half of the documents table, ``add_documents``
@@ -794,6 +847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_full": _q_knn_ivf_full,
         "bm25_topk_simple": _q_bm25_topk_simple,
         "incremental_df_simple": _q_incremental_df_simple,
+        "topk_docs_per_lang": _q_topk_docs_per_lang,
+        "asof_last_purchase": _q_asof_last_purchase,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1087,6 +1142,31 @@ def oracle_sql() -> dict[str, str]:
                                             (SELECT CAST(qe AS DOUBLE[]) FROM q)) DESC,
                      e.vec_id ASC
             LIMIT 10
+        """,
+        "topk_docs_per_lang": """
+            SELECT lang, rank, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                       ) - 1 AS rank
+                FROM documents
+            ) WHERE rank < 3
+            ORDER BY lang, rank
+        """,
+        "asof_last_purchase": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+            ),
+            p AS (
+                SELECT user_id, epoch_us(ts) AS t, value
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.event_id, e.user_id, e.t,
+                   p.t AS purchase_t,
+                   round(p.value, 4) AS purchase_value
+            FROM e ASOF JOIN p
+              ON e.user_id = p.user_id AND e.t >= p.t
+            ORDER BY e.event_id
         """,
         # the incremental-add result must equal the full-corpus simple-token
         # dictionary: df = distinct docs per term, cf = total occurrences
