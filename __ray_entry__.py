@@ -620,6 +620,25 @@ def _q_asof_last_purchase(sf_dir: str):
     )
 
 
+def _q_dup_clusters_simhash(sf_dir: str):
+    """Duplicate CLUSTERS: connected components over the SimHash
+    candidate pairs (distributed min-label propagation + pointer
+    jumping — pyfuseray/extras/components.py), every document labeled
+    with its component's min doc_id. The step that turns near-dup PAIRS
+    into an actual keep-one-per-cluster dedup. Oracle: recursive-CTE
+    reachability over the same pair SQL."""
+    from pyfuseray.extras.components import connected_components
+    from pyfuseray.extras.dedup import simhash_candidates
+
+    docs = _docs(sf_dir)
+    pairs = simhash_candidates(
+        docs.select_columns(["doc_id", "text"]), n_blocks=4
+    ).select_columns(["a", "b"])
+    out = connected_components(pairs, nodes=docs.select_columns(["doc_id"]))
+    df = out.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_incremental_df_simple(sf_dir: str):
     """Incremental index maintenance, hash-checked: build a simple-mode
     index over the first half of the documents table, ``add_documents``
@@ -849,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_df_simple": _q_incremental_df_simple,
         "topk_docs_per_lang": _q_topk_docs_per_lang,
         "asof_last_purchase": _q_asof_last_purchase,
+        "dup_clusters_simhash": _q_dup_clusters_simhash,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1167,6 +1187,31 @@ def oracle_sql() -> dict[str, str]:
             FROM e ASOF JOIN p
               ON e.user_id = p.user_id AND e.t >= p.t
             ORDER BY e.event_id
+        """,
+        # connected components as a recursive-CTE reachability fixpoint
+        # over the SAME simhash-pair SQL; min reachable id per node.
+        # UNION (distinct) semantics terminate the recursion on cycles.
+        "dup_clusters_simhash": f"""
+            WITH RECURSIVE {_SIMHASH_CTE},
+            u AS (SELECT doc_id, CAST(simhash + 9223372036854775808::HUGEINT
+                                      AS UBIGINT) AS hv FROM sh),
+            prs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM u a JOIN u b ON a.doc_id < b.doc_id
+                WHERE ((a.hv >> 0)  & 65535 = (b.hv >> 0)  & 65535)
+                   OR ((a.hv >> 16) & 65535 = (b.hv >> 16) & 65535)
+                   OR ((a.hv >> 32) & 65535 = (b.hv >> 32) & 65535)
+                   OR ((a.hv >> 48) & 65535 = (b.hv >> 48) & 65535)
+            ),
+            e AS (SELECT a AS s, b AS d FROM prs
+                  UNION ALL SELECT b, a FROM prs),
+            reach(n, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN e ON r.m = e.s
+            )
+            SELECT n AS doc_id, min(m) AS cluster_id
+            FROM reach GROUP BY n ORDER BY doc_id
         """,
         # the incremental-add result must equal the full-corpus simple-token
         # dictionary: df = distinct docs per term, cf = total occurrences

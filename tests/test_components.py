@@ -1,0 +1,93 @@
+"""Connected components: driver and distributed routes identical; the
+vectorized contraction matches a brute-force reference on random graphs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from pyfuseray.extras.components import (
+    connected_components,
+    label_pairs_numpy,
+)
+
+
+def _brute_labels(a, b, universe):
+    # floyd-warshall-free reference: repeated relaxation over edges
+    lab = {n: n for n in universe}
+    for x, y in zip(a, b):
+        lab.setdefault(x, x)
+        lab.setdefault(y, y)
+    changed = True
+    while changed:
+        changed = False
+        for x, y in zip(a, b):
+            m = min(lab[x], lab[y])
+            if lab[x] != m or lab[y] != m:
+                lab[x] = lab[y] = m
+                changed = True
+    return lab
+
+
+def test_label_pairs_numpy_random_graphs():
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        n = int(rng.integers(2, 60))
+        e = int(rng.integers(1, 80))
+        a = rng.integers(0, n, e) * 13  # sparse ids
+        b = rng.integers(0, n, e) * 13
+        keys, labs = label_pairs_numpy(a.astype(np.int64), b.astype(np.int64))
+        ref = _brute_labels(a.tolist(), b.tolist(), set(a) | set(b))
+        got = dict(zip(keys.tolist(), labs.tolist()))
+        assert got == ref
+
+
+def test_chain_star_cycle_with_isolated(ray_session):
+    # chain 0..9, star 100<->101..110, cycle 200..204, isolated 300/301
+    a = list(range(9)) + [100] * 10 + [200, 201, 202, 203, 204]
+    b = list(range(1, 10)) + list(range(101, 111)) + [201, 202, 203, 204, 200]
+    pairs = rd.from_pandas(pd.DataFrame({"a": a, "b": b}))
+    universe = sorted(set(a) | set(b) | {300, 301})
+    nodes = rd.from_pandas(pd.DataFrame({"doc_id": universe}))
+    out = (
+        connected_components(pairs, nodes=nodes, mode="driver")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp = {n: 0 for n in range(10)}
+    exp.update({n: 100 for n in range(100, 111)})
+    exp.update({n: 200 for n in range(200, 205)})
+    exp.update({300: 300, 301: 301})
+    assert dict(zip(out["node"], out["label"])) == exp
+
+
+def test_driver_and_distributed_routes_agree(ray_session):
+    # long chain (pointer jumping matters) + a clique + isolated node
+    a = list(range(0, 30)) + [500, 500, 501]
+    b = list(range(1, 31)) + [501, 502, 502]
+    pairs = rd.from_pandas(pd.DataFrame({"a": a, "b": b}))
+    nodes = rd.from_pandas(
+        pd.DataFrame({"doc_id": sorted(set(a) | set(b) | {900})})
+    )
+    drv = (
+        connected_components(pairs, nodes=nodes, mode="driver")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        connected_components(pairs, nodes=nodes, mode="distributed")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(drv, dist)
+    assert (drv[drv.node <= 30].label == 0).all()
+    assert (drv[(drv.node >= 500) & (drv.node <= 502)].label == 500).all()
+    assert drv[drv.node == 900].label.item() == 900
+
+
+def test_empty_pairs_all_singletons(ray_session):
+    pairs = rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                         "b": pd.Series([], dtype="int64")}))
+    nodes = rd.from_pandas(pd.DataFrame({"doc_id": [3, 7, 11]}))
+    out = connected_components(pairs, nodes=nodes).to_pandas()
+    assert dict(zip(out["node"], out["label"])) == {3: 3, 7: 7, 11: 11}

@@ -127,11 +127,15 @@ def test_sampled_lsh_recall_vs_brute():
     Sequential-vs-RTree consistency test
     (``app/tests/image_knn_test.py:64-80``)."""
     ds, vecs = _emb_ds(n=300, seed=13)
+    # pin the block layout: Ray seeds the sampler per (task_idx, seed), so
+    # determinism only holds over a FIXED set of blocks — materialize once
+    # rather than re-executing the lazy pipeline per draw.
+    ds = ds.materialize()
     sample = ds.random_sample(0.06, seed=77).to_pandas()
     assert 2 <= len(sample) <= 60  # fraction is approximate by design
-    # determinism: the same seed draws the same sample
+    # determinism: the same seed over the same blocks draws the same sample
     again = ds.random_sample(0.06, seed=77).to_pandas()
-    assert sample["vec_id"].tolist() == again["vec_id"].tolist()
+    assert sorted(sample["vec_id"].tolist()) == sorted(again["vec_id"].tolist())
     qids = sample["vec_id"].tolist()
     queries = np.asarray(sample["embedding"].tolist(), dtype=np.float32)
     exact = brute_force_topk(ds, queries, 10)
