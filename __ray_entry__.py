@@ -639,6 +639,42 @@ def _q_dup_clusters_simhash(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dedup_canonical_simhash(sf_dir: str):
+    """Near-dedup END STATE: documents surviving keep-one-per-cluster
+    (cluster = connected component of the SimHash candidate pairs,
+    canonical = min doc_id). The drop set is output-sized, broadcast
+    once; the corpus streams through a vectorized filter
+    (pyfuseray/extras/components.py::keep_canonical). Oracle: the same
+    recursive-CTE reachability, keeping docs whose min reachable id is
+    themselves."""
+    from pyfuseray.extras.components import keep_canonical
+    from pyfuseray.extras.dedup import simhash_candidates
+
+    docs = _docs(sf_dir)
+    pairs = simhash_candidates(
+        docs.select_columns(["doc_id", "text"]), n_blocks=4
+    ).select_columns(["a", "b"])
+    out = keep_canonical(
+        docs.select_columns(["doc_id", "lang", "n_chars"]), pairs
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doclen_quantiles(sf_dir: str):
+    """Exact per-language length quantiles via the histogram-compressed
+    distributed plan (pyfuseray/extras/quantiles.py — map-side partial
+    (group, value) counts, one vectorized hash-aggregate merge, driver
+    interpolation over the bounded histogram; corpus rows never reach
+    the driver). Oracle: quantile_cont."""
+    from pyfuseray.extras.quantiles import grouped_quantiles
+
+    docs = _docs(sf_dir).select_columns(["lang", "n_chars"])
+    df = grouped_quantiles(docs, group_col="lang", value_col="n_chars")
+    for c in ("q25", "q50", "q75"):
+        df[c] = df[c].round(4)
+    return df.sort_values("lang").reset_index(drop=True)
+
+
 def _q_incremental_df_simple(sf_dir: str):
     """Incremental index maintenance, hash-checked: build a simple-mode
     index over the first half of the documents table, ``add_documents``
@@ -869,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs_per_lang": _q_topk_docs_per_lang,
         "asof_last_purchase": _q_asof_last_purchase,
         "dup_clusters_simhash": _q_dup_clusters_simhash,
+        "dedup_canonical_simhash": _q_dedup_canonical_simhash,
+        "doclen_quantiles_by_lang": _q_doclen_quantiles,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1212,6 +1250,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS doc_id, min(m) AS cluster_id
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        # keep-canonical: survivors are docs whose component min is
+        # themselves (same reachability CTE as dup_clusters_simhash)
+        "dedup_canonical_simhash": f"""
+            WITH RECURSIVE {_SIMHASH_CTE},
+            u AS (SELECT doc_id, CAST(simhash + 9223372036854775808::HUGEINT
+                                      AS UBIGINT) AS hv FROM sh),
+            prs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM u a JOIN u b ON a.doc_id < b.doc_id
+                WHERE ((a.hv >> 0)  & 65535 = (b.hv >> 0)  & 65535)
+                   OR ((a.hv >> 16) & 65535 = (b.hv >> 16) & 65535)
+                   OR ((a.hv >> 32) & 65535 = (b.hv >> 32) & 65535)
+                   OR ((a.hv >> 48) & 65535 = (b.hv >> 48) & 65535)
+            ),
+            e AS (SELECT a AS s, b AS d FROM prs
+                  UNION ALL SELECT b, a FROM prs),
+            reach(n, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN e ON r.m = e.s
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            JOIN (SELECT n FROM reach GROUP BY n HAVING min(m) = n) k
+              ON d.doc_id = k.n
+            ORDER BY d.doc_id
+        """,
+        # exact per-group quantiles (quantile_cont = linear interpolation
+        # over the sorted multiset — same rule as the histogram plan)
+        "doclen_quantiles_by_lang": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 4) AS q25,
+                   round(quantile_cont(n_chars, 0.50), 4) AS q50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS q75
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # the incremental-add result must equal the full-corpus simple-token
         # dictionary: df = distinct docs per term, cf = total occurrences

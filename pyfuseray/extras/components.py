@@ -203,6 +203,109 @@ def _distributed_components(
     return labels
 
 
+# ---------------------------------------------------------- keep-canonical
+
+
+def keep_canonical(
+    docs: rd.Dataset,
+    pairs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    broadcast_max_drop: int = 20_000_000,
+) -> rd.Dataset:
+    """Near-dedup end state: one canonical row (min id) per duplicate
+    cluster; every other member dropped. ``pairs`` are the verified
+    near-dup pairs (simhash / minhash / embedding LSH output).
+
+    The DROP set (non-canonical members) is bounded by the pair
+    endpoints — output-sized, never corpus-sized — so below
+    ``broadcast_max_drop`` ids it is broadcast ONCE via ray.put and the
+    corpus streams through a vectorized searchsorted filter (no
+    shuffle). Above the gate, an anti-join on COARSE id buckets (one
+    corpus shuffle, bounded group count) takes over. Both routes are
+    pinned identical by tests/test_components.py.
+    """
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+
+    def drop_only(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        keep = node != lab
+        return pa.table({"node": pa.array(node[keep], pa.int64())})
+
+    drop = comp.map_batches(drop_only, batch_format="pyarrow").materialize()
+    n_drop = drop.count()
+
+    if n_drop <= broadcast_max_drop:
+        drop_ids = np.sort(
+            drop.to_pandas()["node"].to_numpy(dtype=np.int64)
+        ) if n_drop else np.empty(0, dtype=np.int64)
+        ref = ray.put(drop_ids)
+
+        def keep_rows(batch: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            d = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if not len(ids):
+                return batch
+            pos = np.searchsorted(ids, d)
+            pos = np.clip(pos, 0, len(ids) - 1)
+            return batch.filter(pa.array(ids[pos] != d))
+
+        return docs.map_batches(keep_rows, batch_format="pyarrow")
+
+    # anti-join route: ONE corpus shuffle on coarse id buckets.
+    # capture plain (name, arrow-type) pairs — never the Dataset — in
+    # closures; Ray's Schema wrapper can surface Python types, so go
+    # through the underlying pyarrow schema.
+    schema = docs.schema()
+    arrow_schema = getattr(schema, "base_schema", None)
+    if arrow_schema is None or not isinstance(arrow_schema, pa.Schema):
+        def _atype(t):
+            if isinstance(t, pa.DataType):
+                return t
+            dt = np.dtype(object) if t in (str, object) else np.dtype(t)
+            if dt.kind in ("U", "S", "O"):
+                return pa.string()
+            return pa.from_numpy_dtype(dt)
+
+        arrow_schema = pa.schema(
+            [(n, _atype(t)) for n, t in zip(schema.names, schema.types)]
+        )
+    names = list(arrow_schema.names)
+    types = {f.name: f.type for f in arrow_schema}
+
+    def tag_drop(batch: pa.Table) -> pa.Table:
+        d = batch.column("node").to_numpy(zero_copy_only=False)
+        cols = {n: pa.nulls(len(d), types[n]) for n in names}
+        cols[id_col] = pa.array(d).cast(types[id_col])
+        t = pa.table(cols).append_column("_cb", pa.array(_cb(d)))
+        return t.append_column("_dropmark", pa.array(np.ones(len(d), dtype=np.int8)))
+
+    def tag_doc2(batch: pa.Table) -> pa.Table:
+        d = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.append_column("_cb", pa.array(_cb(d)))
+        return t.append_column(
+            "_dropmark", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def anti(group: pa.Table) -> pa.Table:
+        d = group.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mark = group.column("_dropmark").to_numpy(zero_copy_only=False)
+        dropped = np.unique(d[mark == 1])
+        keep = mark == 0
+        if len(dropped):
+            pos = np.clip(np.searchsorted(dropped, d), 0, len(dropped) - 1)
+            keep &= dropped[pos] != d
+        return group.filter(pa.array(keep)).drop_columns(["_cb", "_dropmark"])
+
+    tagged = docs.map_batches(tag_doc2, batch_format="pyarrow").union(
+        drop.map_batches(tag_drop, batch_format="pyarrow")
+    )
+    return tagged.groupby("_cb").map_groups(anti, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- api
 
 

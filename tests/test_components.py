@@ -9,6 +9,7 @@ import ray.data as rd
 
 from pyfuseray.extras.components import (
     connected_components,
+    keep_canonical,
     label_pairs_numpy,
 )
 
@@ -83,6 +84,32 @@ def test_driver_and_distributed_routes_agree(ray_session):
     assert (drv[drv.node <= 30].label == 0).all()
     assert (drv[(drv.node >= 500) & (drv.node <= 502)].label == 500).all()
     assert drv[drv.node == 900].label.item() == 900
+
+
+def test_keep_canonical_routes_agree(ray_session):
+    # clusters {1,2,3}, {10,11}; 5/6/7 untouched -> survivors 1,5,6,7,10
+    pairs = rd.from_pandas(pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]}))
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 5, 6, 7, 10, 11],
+             "text": [f"t{i}" for i in range(8)]}
+        )
+    )
+    bcast = (
+        keep_canonical(docs, pairs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    anti = (
+        keep_canonical(docs, pairs, broadcast_max_drop=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert bcast["doc_id"].tolist() == [1, 5, 6, 7, 10]
+    pd.testing.assert_frame_equal(bcast, anti)
+    # no pairs -> corpus unchanged
+    empty = rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                         "b": pd.Series([], dtype="int64")}))
+    out = keep_canonical(docs, empty).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 5, 6, 7, 10, 11]
 
 
 def test_empty_pairs_all_singletons(ray_session):
