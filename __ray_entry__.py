@@ -675,6 +675,30 @@ def _q_doclen_quantiles(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def _q_event_neighbor_counts(sf_dir: str):
+    """Time-window range SELF-JOIN: per event, the number of other
+    same-type events within ±5 minutes — block+halo decomposition, one
+    coarse-bucket shuffle of 3x the rows, fully vectorized per-cell
+    searchsorted (pyfuseray/extras/rangejoin.py). Oracle: non-equi
+    self-join on abs(ts diff) <= window."""
+    import ray.data as rd
+
+    from pyfuseray.extras.rangejoin import neighbor_count_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "event_type"])
+    out = neighbor_count_join(
+        ev, key_col="event_type", ts_col="ts", id_col="event_id",
+        window_us=300_000_000,
+    )
+    return (
+        out.to_pandas()
+        .rename(columns={"rid": "event_id"})
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_incremental_df_simple(sf_dir: str):
     """Incremental index maintenance, hash-checked: build a simple-mode
     index over the first half of the documents table, ``add_documents``
@@ -907,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_simhash": _q_dup_clusters_simhash,
         "dedup_canonical_simhash": _q_dedup_canonical_simhash,
         "doclen_quantiles_by_lang": _q_doclen_quantiles,
+        "event_neighbor_counts": _q_event_neighbor_counts,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1277,6 +1302,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT n FROM reach GROUP BY n HAVING min(m) = n) k
               ON d.doc_id = k.n
             ORDER BY d.doc_id
+        """,
+        # windowed range self-join: LEFT join keeps zero-neighbor events
+        # (count of a null column is 0)
+        "event_neighbor_counts": """
+            SELECT a.event_id,
+                   count(b.event_id) AS n_neighbors
+            FROM events a
+            LEFT JOIN events b
+              ON a.event_type = b.event_type
+             AND b.event_id <> a.event_id
+             AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+            GROUP BY a.event_id ORDER BY a.event_id
         """,
         # exact per-group quantiles (quantile_cont = linear interpolation
         # over the sorted multiset — same rule as the histogram plan)
