@@ -699,6 +699,18 @@ def _q_event_neighbor_counts(sf_dir: str):
     )
 
 
+def _q_heavy_hitter_terms(sf_dir: str):
+    """Exact distributed heavy hitters: every term with global frequency
+    >= 0.2% of all tokens, via the two-pass candidate+verify plan
+    (pyfuseray/extras/heavyhitters.py — pigeonhole candidate superset,
+    broadcast-once verify, shuffled state bounded by candidates, never
+    the token stream). Oracle: GROUP BY + HAVING over unnested tokens."""
+    from pyfuseray.extras.heavyhitters import heavy_hitters
+
+    docs = _docs(sf_dir).select_columns(["text"])
+    return heavy_hitters(docs, phi=0.002)
+
+
 def _q_incremental_df_simple(sf_dir: str):
     """Incremental index maintenance, hash-checked: build a simple-mode
     index over the first half of the documents table, ``add_documents``
@@ -932,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical_simhash": _q_dedup_canonical_simhash,
         "doclen_quantiles_by_lang": _q_doclen_quantiles,
         "event_neighbor_counts": _q_event_neighbor_counts,
+        "heavy_hitter_terms": _q_heavy_hitter_terms,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1302,6 +1315,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT n FROM reach GROUP BY n HAVING min(m) = n) k
               ON d.doc_id = k.n
             ORDER BY d.doc_id
+        """,
+        # exact heavy hitters: threshold = phi * total tokens, same
+        # float64 arithmetic both sides (0.002 * int total)
+        "heavy_hitter_terms": f"""
+            WITH toks AS (
+                SELECT unnest({_TOK}) AS term FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT t.term, count(*) AS cnt
+            FROM toks t, tot
+            GROUP BY t.term, tot.n
+            HAVING count(*) >= 0.002 * tot.n
+            ORDER BY term
         """,
         # windowed range self-join: LEFT join keeps zero-neighbor events
         # (count of a null column is 0)
