@@ -711,6 +711,37 @@ def _q_heavy_hitter_terms(sf_dir: str):
     return heavy_hitters(docs, phi=0.002)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: a fixed per-language quota
+    drawn by ranking a 60-bit md5 of doc_id — the per-stratum quota
+    sampler of a training-data pipeline, reusing the distributed
+    argmin-k combiner (extras/grouptop.py ascending mode; shuffle moves
+    at most k rows per (group, batch)). Oracle: row_number() over the
+    same md5 rank."""
+    import hashlib
+
+    from pyfuseray.extras.grouptop import topk_per_group
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+             for i in ids]
+        return batch.append_column("h", pa.array(h, pa.int64()))
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    out = topk_per_group(
+        docs.map_batches(add_hash, batch_format="pyarrow"),
+        group_col="lang", order_col="h", tie_col="doc_id",
+        k=20, descending=False,
+    )
+    return (
+        out.select_columns(["lang", "rank", "doc_id", "n_chars"])
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_incremental_df_simple(sf_dir: str):
     """Incremental index maintenance, hash-checked: build a simple-mode
     index over the first half of the documents table, ``add_documents``
@@ -945,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles_by_lang": _q_doclen_quantiles,
         "event_neighbor_counts": _q_event_neighbor_counts,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
+        "stratified_sample_by_lang": _q_stratified_sample,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1247,6 +1279,21 @@ def oracle_sql() -> dict[str, str]:
                        ) - 1 AS rank
                 FROM documents
             ) WHERE rank < 3
+            ORDER BY lang, rank
+        """,
+        # deterministic stratified sample: 60-bit md5 prefix of the id
+        # ('0x'||15 hex chars fits BIGINT exactly — same int both sides)
+        "stratified_sample_by_lang": """
+            SELECT lang, rank, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(
+                               md5(cast(doc_id AS VARCHAR)), 1, 15
+                           ))::BIGINT, doc_id
+                       ) - 1 AS rank
+                FROM documents
+            ) WHERE rank < 20
             ORDER BY lang, rank
         """,
         "asof_last_purchase": """
