@@ -711,6 +711,19 @@ def _q_heavy_hitter_terms(sf_dir: str):
     return heavy_hitters(docs, phi=0.002)
 
 
+def _q_keywords_per_doc(sf_dir: str):
+    """Per-document keyword extraction: top-3 TF-IDF (ltc) terms per
+    doc — vocabulary-sized shuffle for df, broadcast-once dictionary,
+    per-doc selection batch-local with NO shuffle
+    (pyfuseray/extras/keywords.py). Oracle: window-ranked TF-IDF SQL."""
+    from pyfuseray.extras.keywords import top_terms_per_doc
+
+    out = top_terms_per_doc(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return (
+        out.to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: a fixed per-language quota
     drawn by ranking a 60-bit md5 of doc_id — the per-stratum quota
@@ -977,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_neighbor_counts": _q_event_neighbor_counts,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "stratified_sample_by_lang": _q_stratified_sample,
+        "keywords_per_doc": _q_keywords_per_doc,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1280,6 +1294,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rank < 3
             ORDER BY lang, rank
+        """,
+        # per-doc keywords: rank on the ROUNDED ltc score (both engines
+        # round to 6dp before ordering, so ulp noise cannot flip ranks)
+        "keywords_per_doc": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            post AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+            nn AS (SELECT count(*) AS n FROM documents),
+            w AS (
+                SELECT p.doc_id, p.term,
+                       round((1.0 + log10(p.tf)) *
+                             log10((SELECT n FROM nn) * 1.0 / d.df), 6)
+                           AS score
+                FROM post p JOIN dfs d USING (term)
+            ),
+            r AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, term
+                       ) - 1 AS rank
+                FROM w
+            )
+            SELECT doc_id, rank, term, score FROM r
+            WHERE rank < 3 ORDER BY doc_id, rank
         """,
         # deterministic stratified sample: 60-bit md5 prefix of the id
         # ('0x'||15 hex chars fits BIGINT exactly — same int both sides)
