@@ -724,6 +724,32 @@ def _q_keywords_per_doc(sf_dir: str):
     )
 
 
+def _q_props_k_by_type(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer field k out
+    of the events' JSON props column with a VECTORIZED arrow regex
+    kernel (pc.extract_regex — no Python row loop), then partial-agg per
+    batch into a 5-group aggregate. Oracle: regexp_extract + GROUP BY."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": k})
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+    out = (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    out["avg_k"] = (out["sum_k"] / out["n"]).round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: a fixed per-language quota
     drawn by ranking a 60-bit md5 of doc_id — the per-stratum quota
@@ -991,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "stratified_sample_by_lang": _q_stratified_sample,
         "keywords_per_doc": _q_keywords_per_doc,
+        "props_k_by_type": _q_props_k_by_type,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1294,6 +1321,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rank < 3
             ORDER BY lang, rank
+        """,
+        # JSON payload extraction mirrored as a regexp capture (same
+        # pattern as the arrow extract_regex kernel)
+        "props_k_by_type": """
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                            AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                                  AS BIGINT)) * 1.0 / count(*), 6) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # per-doc keywords: rank on the ROUNDED ltc score (both engines
         # round to 6dp before ordering, so ulp noise cannot flip ranks)
