@@ -78,6 +78,52 @@ def csv_to_corpus(
     return assign_doc_ids(keyed).select_columns(["doc_id", "text"])
 
 
+def jsonl_to_corpus(
+    path: str,
+    *,
+    text_columns: list[str],
+    id_column: str | None = None,
+    dedup_column: str | None = None,
+) -> rd.Dataset:
+    """JSON-lines ingest with the same semantics as ``csv_to_corpus``
+    (the reference's loadData shape over a different wire format):
+    ``ray.data.read_json`` streams the shards, then the identical
+    concat -> optional keep-first dedup -> doc_id pipeline runs. Kept
+    separate from the CSV path only at the read; everything downstream
+    is shared, so the two routes are pinned identical by
+    tests/test_sources.py."""
+    from pyfuseray.extract import concat_text_columns
+
+    ds = rd.read_json(path)
+    ds = ds.map_batches(
+        lambda t: concat_text_columns(t, text_columns), batch_format="pyarrow"
+    )
+    if dedup_column is not None:
+        def keep_min(g):
+            return g.sort_values(dedup_column).head(1)
+
+        ds = ds.groupby(dedup_column).map_groups(keep_min, batch_format="pandas")
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    if id_column is not None:
+        def use_id(batch):
+            ids = batch.column(id_column).cast("int64")
+            return (
+                batch.append_column("doc_id", ids)
+                if "doc_id" not in batch.column_names else batch
+            )
+
+        return ds.map_batches(use_id, batch_format="pyarrow").select_columns(
+            ["doc_id", "text"]
+        )
+    key = dedup_column or text_columns[0]
+
+    def rename_key(batch):
+        return batch.append_column("url", batch.column(key).cast("string"))
+
+    keyed = ds.map_batches(rename_key, batch_format="pyarrow")
+    return assign_doc_ids(keyed).select_columns(["doc_id", "text"])
+
+
 # above this doc count build_from_pages stops pinning the materialized
 # corpus in the (spill-backed) object store for the whole build: the
 # corpus parquet is written FIRST (streaming) and the build re-reads it
