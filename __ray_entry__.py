@@ -660,6 +660,33 @@ def _q_dedup_canonical_simhash(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_curate_corpus(sf_dir: str):
+    """END-TO-END curation pipeline (extras/curate.py): quality/lang
+    filter -> exact dedup keep-min -> SimHash near-dedup keep-canonical
+    -> resumable hive-partitioned parquet sink (lang, shard). The
+    contract reads the WRITTEN layout back, so the whole chain
+    including the sink round-trip is hash-checked; the oracle replays
+    the same stage order in SQL (each stage reuses an already-checked
+    oracle fragment). Reference role: DataLoader.loadData corpus prep
+    (/root/reference/app/DataLoader.py) plus the dedup stages a
+    web-scale corpus needs."""
+    from pyfuseray.extras.curate import curate_corpus, read_curated
+
+    out = f"/tmp/pyfuseray_curated_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    curate_corpus(
+        _docs(sf_dir),
+        out,
+        min_quality=0.35,
+        langs=["de", "en", "es", "fr"],
+        n_shards=8,
+        resume=False,
+    )
+    df = read_curated(out).to_pandas()[["doc_id", "lang", "shard"]]
+    df["shard"] = df["shard"].astype("int64")
+    df["lang"] = df["lang"].astype(str)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doclen_quantiles(sf_dir: str):
     """Exact per-language length quantiles via the histogram-compressed
     distributed plan (pyfuseray/extras/quantiles.py — map-side partial
@@ -1012,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": _q_asof_last_purchase,
         "dup_clusters_simhash": _q_dup_clusters_simhash,
         "dedup_canonical_simhash": _q_dedup_canonical_simhash,
+        "curate_corpus": _q_curate_corpus,
         "doclen_quantiles_by_lang": _q_doclen_quantiles,
         "event_neighbor_counts": _q_event_neighbor_counts,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
@@ -1443,6 +1471,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT n FROM reach GROUP BY n HAVING min(m) = n) k
               ON d.doc_id = k.n
             ORDER BY d.doc_id
+        """,
+        # end-to-end curation: replay the pipeline's stage order —
+        # quality/lang filter (quality_score's expression), exact dedup
+        # keep-min (dedup_exact's grouping), SimHash canonical survivors
+        # (dedup_canonical_simhash's reachability) — then shard = id % 8
+        "curate_corpus": f"""
+            WITH RECURSIVE
+            fq AS (
+                SELECT doc_id, text, lang FROM documents
+                WHERE lang IN ('de', 'en', 'es', 'fr')
+                  AND round(
+                        least(1.0, CAST(len({_TOK}) AS BIGINT) / 100.0)
+                        * (1.0 - CASE WHEN len(text) > 0
+                               THEN CAST(len(regexp_extract_all(text, '[0-9]'))
+                                         AS DOUBLE) / len(text)
+                               ELSE 0.0 END), 6) >= 0.35
+            ),
+            d1 AS (SELECT min(doc_id) AS doc_id FROM fq GROUP BY {_NORM_TEXT}),
+            sv AS (SELECT fq.* FROM fq JOIN d1 USING (doc_id)),
+            toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM sv),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+                FROM toks
+            ),
+            bits AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id),
+            sh AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(({_SIMHASH_RECON}), 0::HUGEINT)
+                            AS UBIGINT) AS hv
+                FROM sv d LEFT JOIN bits USING (doc_id)
+            ),
+            prs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE ((a.hv >> 0)  & 65535 = (b.hv >> 0)  & 65535)
+                   OR ((a.hv >> 16) & 65535 = (b.hv >> 16) & 65535)
+                   OR ((a.hv >> 32) & 65535 = (b.hv >> 32) & 65535)
+                   OR ((a.hv >> 48) & 65535 = (b.hv >> 48) & 65535)
+            ),
+            e AS (SELECT a AS s, b AS d FROM prs
+                  UNION ALL SELECT b, a FROM prs),
+            reach(n, m) AS (
+                SELECT doc_id, doc_id FROM sv
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN e ON r.m = e.s
+            )
+            SELECT s.doc_id, s.lang, s.doc_id % 8 AS shard
+            FROM sv s
+            JOIN (SELECT n FROM reach GROUP BY n HAVING min(m) = n) k
+              ON s.doc_id = k.n
+            ORDER BY s.doc_id
         """,
         # exact heavy hitters: threshold = phi * total tokens, same
         # float64 arithmetic both sides (0.002 * int total)
