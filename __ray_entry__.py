@@ -1006,6 +1006,119 @@ def _q_multimodal_features(sf_dir: str):
     )
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI join (NOT EXISTS): customers with no URGENT
+    order — ``broadcast_limit=0`` forces the one-coarse-shuffle route
+    (pyfuseray/extras/joins.semi_join; the broadcast route is pinned
+    identical by tests/test_joins.py). Oracle: NOT EXISTS subquery."""
+    import ray.data as rd
+
+    from pyfuseray.extras.joins import anti_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    out = anti_join(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        broadcast_limit=0,
+    ).to_pandas()
+    out["c_acctbal"] = out["c_acctbal"].round(2)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_parts_with_lineitems(sf_dir: str):
+    """SEMI join (EXISTS), broadcast route: parts that appear in at
+    least one lineitem — the right side's distinct keys ship once via
+    ray.put, zero shuffles. Oracle: EXISTS subquery."""
+    import ray.data as rd
+
+    from pyfuseray.extras.joins import semi_join
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey"]
+    )
+    out = semi_join(part, li, left_on="p_partkey", right_on="l_partkey").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def _q_running_revenue(sf_dir: str):
+    """Global ordered cumulative aggregate (distributed prefix scan,
+    pyfuseray/extras/scan.py): running total of event value over the
+    whole log ordered by (ts, event_id) — two passes, driver state
+    bounded by the bucket count. Values scale to integer cents first
+    (floor(v*100+0.5), identical on both sides) so the float64 partial
+    sums are EXACT integers and bucket-offset addition order cannot
+    drift from DuckDB's sequential window sum.
+    Oracle: SUM() OVER (ORDER BY ts, event_id)."""
+    import ray.data as rd
+
+    from pyfuseray.extras.scan import running_sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64())
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "t": t,
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = running_sum(
+        ev, order_cols=["t", "event_id"], value_col="cents", n_buckets=64
+    ).to_pandas()
+    out["running"] = (out["running"] / 100.0).round(2)
+    return (
+        out[["event_id", "t", "running"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_boolean_and_simple(sf_dir: str):
+    """Unranked boolean AND retrieval (posting-list intersection over
+    the simple-analyzer index — the reference's PostgreSQL-GIN
+    ``@@ to_tsquery`` comparison shape, app/Experiments.py). Oracle:
+    docs containing every query term (HAVING count(DISTINCT term))."""
+    ix = _ensure_simple_index(sf_dir)
+    from pyfuseray.query import IndexSearcher
+
+    s = IndexSearcher(ix)
+    qids, dids = [], []
+    for qid, q in enumerate(SIMPLE_BM25_QUERIES):
+        docs = s.search_boolean(q, mode="and")
+        qids.extend([qid] * len(docs))
+        dids.extend(int(d) for d in docs)
+    return pd.DataFrame({"query_id": qids, "doc_id": dids}).sort_values(
+        ["query_id", "doc_id"]
+    ).reset_index(drop=True)
+
+
+def _q_top_bigrams_pmi(sf_dir: str):
+    """Bigram collocations by PMI (pyfuseray/extras/collocations.py):
+    adjacent-token pair counts merge through one vocabulary-sized
+    groupby; unigram table broadcast once; per-batch local top-k.
+    Oracle: list-adjacency bigrams + the same PMI formula in SQL."""
+    from pyfuseray.extras.collocations import top_bigrams_pmi
+
+    docs = _docs(sf_dir)
+    return top_bigrams_pmi(docs, min_count=5, k=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checkable
@@ -1046,6 +1159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_by_lang": _q_stratified_sample,
         "keywords_per_doc": _q_keywords_per_doc,
         "props_k_by_type": _q_props_k_by_type,
+        "customers_without_orders": _q_customers_without_orders,
+        "parts_with_lineitems": _q_parts_with_lineitems,
+        "running_revenue": _q_running_revenue,
+        "boolean_and_simple": _q_boolean_and_simple,
+        "top_bigrams_pmi": _q_top_bigrams_pmi,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1666,5 +1784,85 @@ def oracle_sql() -> dict[str, str]:
                    round(dr, 6) AS digit_ratio,
                    round(least(1.0, n_tokens / 100.0) * (1.0 - dr), 6) AS quality
             FROM raw
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            ORDER BY c_custkey
+        """,
+        "parts_with_lineitems": """
+            SELECT p_partkey, p_name
+            FROM part p
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+            )
+            ORDER BY p_partkey
+        """,
+        # running total over integer cents (floor(v*100+0.5) identical to
+        # the Ray side) so the sum is exact and order-independent; the
+        # final /100.0 + round(2) is the same float op on both sides
+        "running_revenue": """
+            SELECT event_id, epoch_us(ts) AS t,
+                   round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                             OVER (ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) / 100.0,
+                         2) AS running
+            FROM events
+            ORDER BY event_id
+        """,
+        # boolean AND = docs containing EVERY query term at least once
+        "boolean_and_simple": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+            qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id)
+            SELECT q.query_id, t.doc_id
+            FROM q JOIN toks t USING (term) JOIN qn USING (query_id)
+            GROUP BY q.query_id, t.doc_id, qn.n
+            HAVING count(DISTINCT t.term) = qn.n
+            ORDER BY query_id, doc_id
+        """,
+        # bigrams by list adjacency over the simple tokens; PMI formula
+        # written with the exact operation order of collocations.py
+        # (each division/multiply is IEEE-identical given equal inputs)
+        "top_bigrams_pmi": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            bi AS (
+                SELECT t[i] AS a, t[i + 1] AS b
+                FROM toks, unnest(range(1, len(t))) AS g(i)
+            ),
+            uni AS (
+                SELECT unnest(t) AS term FROM toks
+            ),
+            uc AS (SELECT term, count(*)::DOUBLE AS c FROM uni GROUP BY term),
+            nu AS (SELECT count(*)::DOUBLE AS n FROM uni),
+            nb AS (SELECT count(*)::DOUBLE AS n FROM bi),
+            bc AS (
+                SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b
+                HAVING count(*) >= 5
+            ),
+            scored AS (
+                SELECT bc.a, bc.b, bc.c_ab,
+                       round(ln((bc.c_ab / nb.n)
+                                / ((ca.c / nu.n) * (cb.c / nu.n))), 6) AS pmi
+                FROM bc
+                JOIN uc ca ON ca.term = bc.a
+                JOIN uc cb ON cb.term = bc.b
+                CROSS JOIN nu CROSS JOIN nb
+            )
+            SELECT rank, a, b, c_ab, pmi FROM (
+                SELECT a, b, c_ab, pmi,
+                       row_number() OVER (ORDER BY pmi DESC, a, b) - 1 AS rank
+                FROM scored
+            ) WHERE rank < 30
+            ORDER BY rank
         """,
     }

@@ -291,3 +291,134 @@ def hash_join(
 def _schema_fields(ds: rd.Dataset):
     sch = ds.schema()
     return [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+
+
+# -- semi / anti join --------------------------------------------------------
+
+SEMI_BROADCAST_LIMIT = 2_000_000  # distinct right keys; ~16 MB of int64
+
+
+def semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    coarse_groups: int = COARSE_JOIN_GROUPS,
+    broadcast_limit: int = SEMI_BROADCAST_LIMIT,
+) -> rd.Dataset:
+    """EXISTS / NOT EXISTS: left rows whose key does (semi) or does not
+    (anti) appear in ``right``. Output = left's columns, unchanged.
+
+    Size-gated two routes (same policy as ``docids.ingest_pages``):
+
+    - **broadcast** (distinct right keys <= ``broadcast_limit``): the
+      deduplicated key set ships via ``ray.put`` ONCE and every left
+      batch filters locally with a vectorized ``np.isin`` — zero
+      shuffles, the common shape when the right side is a filter list.
+    - **distributed** (above the gate): both sides shuffle ONCE on the
+      same coarse key hash (bounded group count; the row-heavy left
+      side never replicates), and each group runs one ``np.isin`` of
+      its left keys against its right keys. Correct because equal keys
+      always share a coarse group.
+
+    Both routes are pinned identical by
+    ``tests/test_joins.py::test_semi_anti_routes_agree``.
+    """
+    import ray
+
+    right_on = right_on or left_on
+    keys_ds = right.select_columns([right_on])
+    # distinct-key estimate without a global unique(): per-batch dedup,
+    # then count. Upper bound on distinct keys, cheap and narrow.
+    approx = keys_ds.map_batches(
+        lambda t: pa.table({right_on: t.column(right_on).combine_chunks().unique()}),
+        batch_format="pyarrow",
+    )
+
+    n_approx = approx.count()
+    if n_approx <= broadcast_limit:
+        if n_approx == 0:
+            key_arr = np.array([])
+        else:
+            key_arr = approx.to_pandas()[right_on].unique()
+        key_ref = ray.put(np.sort(key_arr))
+
+        def bfilter(batch: pa.Table) -> pa.Table:
+            keys = ray.get(key_ref)
+            v = batch.column(left_on).to_numpy(zero_copy_only=False)
+            if keys.size == 0:
+                hit = np.zeros(len(v), dtype=bool)
+            else:
+                idx = np.searchsorted(keys, v)
+                idx[idx >= keys.size] = 0
+                hit = keys[idx] == v
+            mask = ~hit if anti else hit
+            return batch.filter(pa.array(mask))
+
+        return left.map_batches(bfilter, batch_format="pyarrow")
+
+    # distributed route: union left rows with right's (key-only) rows,
+    # one coarse shuffle, per-group membership test
+    l_fields = _schema_fields(left)
+    l_cols = [f.name for f in l_fields]
+    # right keys are cast to the LEFT key's arrow type so the union
+    # schema is uniform (e.g. int32 right keys vs int64 left keys)
+    key_type = dict((f.name, f.type) for f in l_fields)[left_on]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cb = _vec_key_hash(batch.column(left_on), coarse_groups).astype(np.int64)
+        return batch.append_column(
+            "_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        ).append_column("_cb", pa.array(cb, pa.int64()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        col = batch.column(right_on).combine_chunks().unique()
+        t = pa.table({left_on: col.cast(key_type)})
+        for f in l_fields:
+            if f.name != left_on:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        t = t.select(l_cols)
+        cb = _vec_key_hash(t.column(left_on), coarse_groups).astype(np.int64)
+        return t.append_column(
+            "_side", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        ).append_column("_cb", pa.array(cb, pa.int64()))
+
+    lt = left.select_columns(l_cols).map_batches(tag_left, batch_format="pyarrow")
+    rt = keys_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    def member(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sides = group.column("_side")
+        lg = group.filter(pc.equal(sides, 0))
+        rkeys = (
+            group.filter(pc.equal(sides, 1))
+            .column(left_on)
+            .to_numpy(zero_copy_only=False)
+        )
+        lkeys = lg.column(left_on).to_numpy(zero_copy_only=False)
+        hit = np.isin(lkeys, rkeys)
+        mask = ~hit if anti else hit
+        return lg.filter(pa.array(mask)).select(l_cols)
+
+    return (
+        lt.union(rt)
+        .groupby("_cb")
+        .map_groups(member, batch_format="pyarrow")
+    )
+
+
+def anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    **kw,
+) -> rd.Dataset:
+    """Left rows with NO match in right (NOT EXISTS). See semi_join."""
+    return semi_join(
+        left, right, left_on=left_on, right_on=right_on, anti=True, **kw
+    )

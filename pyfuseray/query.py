@@ -170,6 +170,42 @@ class IndexSearcher:
             scores[nz] = scores[nz] / (query_norm * norms[nz])
         return _topk(uniq, scores, top_k)
 
+    def search_boolean(self, query: str, mode: str = "and") -> np.ndarray:
+        """Unranked boolean retrieval over the inverted index: sorted
+        doc_ids of documents containing ALL query terms (``mode="and"``,
+        posting-list intersection — the PostgreSQL-GIN ``@@ to_tsquery``
+        shape the reference benchmarks against, Experiments.py) or ANY
+        (``mode="or"``, union). Vectorized: np.intersect1d/union1d over
+        decoded posting doc_ids; an AND with any absent term is empty.
+        Hash-checked vs a DuckDB HAVING-count oracle (contract
+        ``boolean_and_simple``)."""
+        assert mode in ("and", "or")
+        terms = self.analyzer.preprocess_query(query)
+        if not terms:
+            return np.array([], dtype=np.int64)
+        rows = self.lookup(sorted(terms))
+        if mode == "and" and len(rows) < len(terms):
+            return np.array([], dtype=np.int64)
+        lists = []
+        for t in sorted(rows):
+            row = rows[t]
+            doc_ids, _ = decode_postings(row.blob, row.offset)
+            lists.append(doc_ids)
+        if not lists:
+            return np.array([], dtype=np.int64)
+        # intersect smallest-first: each step's cost is bounded by the
+        # smallest remaining list
+        lists.sort(key=len)
+        out = lists[0]
+        for other in lists[1:]:
+            if mode == "and":
+                out = np.intersect1d(out, other, assume_unique=True)
+                if out.size == 0:
+                    return out.astype(np.int64)
+            else:
+                out = np.union1d(out, other)
+        return out.astype(np.int64)
+
     def search_bm25(
         self,
         query: str,
