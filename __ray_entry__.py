@@ -1108,6 +1108,18 @@ def _q_boolean_and_simple(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition filter signals (duplicate
+    3-gram fraction + top-token mass; extras/textstats.repetition_stage)
+    — vectorized map_batches, no shuffle. Oracle: list-adjacency SQL."""
+    from pyfuseray.extras.textstats import repetition_stats
+
+    out = repetition_stats(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_bigrams_pmi(sf_dir: str):
     """Bigram collocations by PMI (pyfuseray/extras/collocations.py):
     adjacent-token pair counts merge through one vocabulary-sized
@@ -1164,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": _q_running_revenue,
         "boolean_and_simple": _q_boolean_and_simple,
         "top_bigrams_pmi": _q_top_bigrams_pmi,
+        "repetition_stats": _q_repetition_stats,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1827,6 +1840,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY q.query_id, t.doc_id, qn.n
             HAVING count(DISTINCT t.term) = qn.n
             ORDER BY query_id, doc_id
+        """,
+        # Gopher repetition signals: duplicate-3gram fraction (inclusive
+        # list slicing t[i:i+2] = 3 tokens) and top-token mass; same
+        # division order as repetition_stage, round 6dp both sides
+        "repetition_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            g AS (
+                SELECT doc_id, len(t) AS n,
+                       CASE WHEN len(t) >= 3
+                            THEN list_transform(range(1, len(t) - 1),
+                                                i -> array_to_string(t[i:i+2], ' '))
+                            ELSE [] END AS gs
+                FROM toks
+            ),
+            tc AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            cnt AS (SELECT doc_id, term, count(*) AS c FROM tc
+                    GROUP BY doc_id, term),
+            mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY doc_id)
+            SELECT g.doc_id,
+                   CAST(g.n AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(gs) > 0
+                              THEN 1.0 - len(list_distinct(gs))::DOUBLE / len(gs)
+                              ELSE 0.0 END, 6) AS dup_3gram_frac,
+                   round(CASE WHEN g.n > 0
+                              THEN COALESCE(mx.mc, 0)::DOUBLE / g.n
+                              ELSE 0.0 END, 6) AS top_token_frac
+            FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id
+            ORDER BY g.doc_id
         """,
         # bigrams by list adjacency over the simple tokens; PMI formula
         # written with the exact operation order of collocations.py

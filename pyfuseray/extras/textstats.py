@@ -125,6 +125,50 @@ def quality_stage(batch: pa.Table) -> pa.Table:
     )
 
 
+def repetition_stage(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, dup_3gram_frac, top_token_frac): Gopher-style
+    within-document repetition signals — the fraction of duplicate
+    token 3-grams and the mass of the single most frequent token. The
+    standard web-corpus filters for machine-generated/boilerplate text
+    (Rae et al. 2021 'Scaling Language Models' repetition rules).
+    Hash-checked against a DuckDB list-adjacency oracle
+    (``repetition_stats``); floats rounded to 6dp on both sides."""
+    import numpy as np
+
+    ids = batch.column("doc_id")
+    n_toks, dup3, topf = [], [], []
+    for t in batch.column("text").to_pylist():
+        toks = simple_tokens(t)
+        n = len(toks)
+        n_toks.append(n)
+        if n >= 3:
+            grams = np.asarray(
+                [" ".join(toks[i : i + 3]) for i in range(n - 2)], dtype=object
+            )
+            total = grams.size
+            distinct = np.unique(grams).size
+            dup3.append(round(1.0 - distinct / total, 6))
+        else:
+            dup3.append(0.0)
+        if n > 0:
+            _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            topf.append(round(int(counts.max()) / n, 6))
+        else:
+            topf.append(0.0)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "dup_3gram_frac": pa.array(dup3, pa.float64()),
+            "top_token_frac": pa.array(topf, pa.float64()),
+        }
+    )
+
+
+def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(repetition_stage, batch_format="pyarrow")
+
+
 class LangIdStage:
     """Actor-pool language-ID: stopword-marker hit ratio per language,
     argmax with 'und' (undetermined) fallback. Marker tables built once

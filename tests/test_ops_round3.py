@@ -167,6 +167,30 @@ def test_search_boolean_and_or(tmp_path):
         assert s.search_boolean(q, mode="or").tolist() == exp_or, q
 
 
+# -- repetition stats ---------------------------------------------------------
+
+
+def test_repetition_stats_values():
+    from pyfuseray.extras.textstats import repetition_stats
+
+    docs = [
+        "a b c a b c a b c",      # 7 trigrams, 3 distinct -> dup 4/7
+        "x y z w",                # all distinct -> 0; top 1/4
+        "q q q q",                # one trigram repeated -> dup 1/2; top 1
+        "one two",                # <3 tokens -> dup 0
+        "",                       # empty -> all 0
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))), "text": docs}))
+    out = repetition_stats(ds).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [9, 4, 4, 2, 0]
+    assert out["dup_3gram_frac"].tolist() == [
+        round(1 - 3 / 7, 6), 0.0, 0.5, 0.0, 0.0
+    ]
+    assert out["top_token_frac"].tolist() == [
+        round(3 / 9, 6), 0.25, 1.0, 0.5, 0.0
+    ]
+
+
 # -- bigram PMI ---------------------------------------------------------------
 
 
