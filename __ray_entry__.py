@@ -1108,6 +1108,33 @@ def _q_boolean_and_simple(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_contamination_pairs(sf_dir: str):
+    """Benchmark decontamination (pyfuseray/extras/contamination.py):
+    train docs (doc_id % 10 != 7) sharing a distinct token 5-gram with
+    an eval doc (doc_id % 10 == 7); broadcast route — the eval gram
+    table ships once, train batches match with searchsorted, zero
+    shuffles. Oracle: gram-join SQL (same construction as
+    minhash_pairs' grams)."""
+    from pyfuseray.extras.contamination import ngram_contamination
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def split(keep_eval: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = pa.array((ids % 10) == 7)
+            return batch.filter(m if keep_eval else pc.invert(m))
+
+        return fn
+
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    ev = docs.map_batches(split(True), batch_format="pyarrow")
+    out = ngram_contamination(train, ev, n=5).to_pandas()
+    return out.sort_values(["train_id", "eval_id"]).reset_index(drop=True)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition filter signals (duplicate
     3-gram fraction + top-token mass; extras/textstats.repetition_stage)
@@ -1177,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and_simple": _q_boolean_and_simple,
         "top_bigrams_pmi": _q_top_bigrams_pmi,
         "repetition_stats": _q_repetition_stats,
+        "contamination_pairs": _q_contamination_pairs,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1840,6 +1868,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY q.query_id, t.doc_id, qn.n
             HAVING count(DISTINCT t.term) = qn.n
             ORDER BY query_id, doc_id
+        """,
+        # decontamination: distinct shared 5-grams between the train and
+        # eval splits; gram construction identical to minhash_pairs'
+        "contamination_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(range(1, len(t) - 3),
+                                                i -> array_to_string(t[i:i+4], ' '))
+                       END AS gs
+                FROM toks WHERE len(t) > 0
+            ),
+            g AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+            tr AS (SELECT * FROM g WHERE doc_id % 10 <> 7),
+            ev AS (SELECT * FROM g WHERE doc_id % 10 = 7)
+            SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+                   count(*) AS n_shared
+            FROM tr JOIN ev USING (gram)
+            GROUP BY tr.doc_id, ev.doc_id
+            ORDER BY train_id, eval_id
         """,
         # Gopher repetition signals: duplicate-3gram fraction (inclusive
         # list slicing t[i:i+2] = 3 tokens) and top-token mass; same

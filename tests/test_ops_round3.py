@@ -167,6 +167,51 @@ def test_search_boolean_and_or(tmp_path):
         assert s.search_boolean(q, mode="or").tolist() == exp_or, q
 
 
+# -- contamination ------------------------------------------------------------
+
+
+def test_contamination_routes_agree():
+    from pyfuseray.extras.contamination import ngram_contamination
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(60)]
+    # plant exact contamination: train doc 3 copies eval doc 50's text,
+    # train doc 4 shares a 5-gram window with eval doc 55
+    texts[3] = texts[50]
+    texts[4] = texts[4].split(" ", 5)[-1] + " " + " ".join(texts[55].split()[:5])
+    docs = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+    train = rd.from_pandas(docs[docs.doc_id < 50])
+    ev = rd.from_pandas(docs[docs.doc_id >= 50])
+
+    def serial():
+        def gs(t):
+            toks = re.findall(r"[a-z0-9]+", t.lower())
+            if len(toks) < 5:
+                return {" ".join(toks)} if toks else set()
+            return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+        rows = []
+        for _, tr in docs[docs.doc_id < 50].iterrows():
+            for _, evr in docs[docs.doc_id >= 50].iterrows():
+                shared = len(gs(tr.text) & gs(evr.text))
+                if shared:
+                    rows.append((tr.doc_id, evr.doc_id, shared))
+        return sorted(rows)
+
+    exp = serial()
+    for limit in (10**9, 0):  # broadcast, then forced distributed
+        got = (
+            ngram_contamination(train, ev, n=5, broadcast_limit=limit)
+            .to_pandas()
+            .sort_values(["train_id", "eval_id"])
+            .reset_index(drop=True)
+        )
+        assert [tuple(r) for r in got.values.tolist()] == exp, limit
+    assert any(r[0] == 3 and r[1] == 50 for r in exp)
+    assert any(r[0] == 4 and r[1] == 55 for r in exp)
+
+
 # -- repetition stats ---------------------------------------------------------
 
 
