@@ -123,7 +123,7 @@ def run_bench() -> dict:
         s0 = _proc_stat()
         t0 = time.perf_counter()
         build_from_pages(
-            rd.read_parquet(pages_path),
+            pages_path,  # path form: (url, warc_ts) planning pass column-pruned
             ix_pages,
             corpus_dir=f"/tmp/pyfuseray_bench_corpus_{num_cpus}",
             num_buckets=8,
@@ -463,7 +463,7 @@ def run_latency_table() -> dict:
             )
         ix = f"/tmp/pyfuseray_lat_ix_{n}"
         t0 = time.perf_counter()
-        build_from_pages(rd.read_parquet(pages_path), ix,
+        build_from_pages(pages_path, ix,
                          corpus_dir=f"/tmp/pyfuseray_lat_corpus_{n}",
                          num_buckets=8, overwrite=True)
         build_s = time.perf_counter() - t0

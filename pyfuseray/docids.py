@@ -247,6 +247,7 @@ def ingest_pages(
     *,
     broadcast_threshold: int = BROADCAST_URL_LIMIT,
     n_rows: int | None = None,
+    narrow: rd.Dataset | None = None,
 ) -> tuple[rd.Dataset, int]:
     """Ingest: dedup keep-first + doc_id assignment, route chosen by size.
 
@@ -266,6 +267,14 @@ def ingest_pages(
     (tested side by side). Urls whose duplicates tie on warc_ts are
     resolved by the exact per-group path (md5(text) tie-break) on either
     route.
+
+    ``narrow``: optional (url, warc_ts)-only Dataset for the planning
+    pass. Ray 2.49's ``select_columns`` does NOT push the projection
+    into a parquet scan (the narrow pass would decode the html column
+    and throw it away — measured 10.9 s vs 1.9 s on the 1.2M-page bench
+    file), so callers that know the source path pass
+    ``read_parquet(path, columns=["url", "warc_ts"])`` here
+    (``pipeline.build_from_pages`` does when given a path).
     """
     import ray
 
@@ -279,7 +288,9 @@ def ingest_pages(
     # fixed-width byte arrays via buffer math: sorting/searchsorted are
     # vectorized C byte comparisons and the broadcast array is zero-copy
     # out of the object store. Widths are UTF-8 BYTES (non-ASCII safe).
-    tables = ray.get(pages.select_columns(["url", "warc_ts"]).to_arrow_refs())
+    if narrow is None:
+        narrow = pages.select_columns(["url", "warc_ts"])
+    tables = ray.get(narrow.to_arrow_refs())
     meta_tbl = (
         pa.concat_tables(tables)
         if tables
