@@ -66,6 +66,13 @@ class Manifest:
     # Empty means the single original "postings_raw" (pre-incremental
     # manifests load this way). See pyfuseray/incremental.py.
     generations: list[str] = field(default_factory=list)
+    # count of tombstoned doc_ids in stats/deleted.parquet (see
+    # pyfuseray/deletes.py). 0 means the sidecar is absent OR inert (a
+    # crash between compact's manifest write and the sidecar unlink
+    # leaves the file behind; readers gate on this count, so the stale
+    # file is never applied twice). Pre-delete manifests load as 0 —
+    # the sidecar is additive, so FORMAT_VERSION stays unchanged.
+    n_deleted: int = 0
 
     # -- stage bookkeeping -------------------------------------------------
     def stage_done(self, name: str) -> bool:

@@ -76,6 +76,27 @@ def cmd_add(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    _ray_session()
+    from pyfuseray.deletes import compact, delete_documents
+
+    if args.doc_ids:
+        ids = [int(x) for x in args.doc_ids.split(",")]
+        m = delete_documents(args.index, ids)
+    else:
+        m = None
+    if args.compact:
+        m = compact(args.index)
+    if m is None:
+        raise SystemExit("pass --doc-ids and/or --compact")
+    print(json.dumps({
+        "n_docs": m.n_docs, "n_deleted": m.n_deleted,
+        "total_postings": m.total_postings,
+        "generations": len(m.generations or []) or 1,
+    }))
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     from pyfuseray.query import IndexSearcher
 
@@ -119,6 +140,13 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--finish", action="store_true",
                    help="repair an interrupted add (redo merge from manifest)")
     a.set_defaults(fn=cmd_add)
+
+    d = sub.add_parser("delete", help="tombstone doc_ids and/or compact")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", help="comma-separated doc_ids to tombstone")
+    d.add_argument("--compact", action="store_true",
+                   help="physically remove tombstoned postings")
+    d.set_defaults(fn=cmd_delete)
 
     s = sub.add_parser("search", help="query a built index")
     s.add_argument("--index", required=True)

@@ -93,10 +93,16 @@ def bulk_search(
     # capturing the dense array in the topk_group closure (which would
     # serialize it into every map_groups task spec)
     norms_ref = ray.put(norms)
+    # tombstoned doc_ids (pyfuseray.deletes), broadcast once; postings of
+    # deleted docs never leave the scan stage
+    from pyfuseray.deletes import in_tombstones, load_tombstones
+
+    del_ref = ray.put(load_tombstones(index_dir, m))
 
     def score_stage(batch: pa.Table) -> pa.Table:
         qt = ray.get(q_ref)
         dl_dense = ray.get(dl_ref)
+        dele = ray.get(del_ref)
         out_q: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
@@ -109,6 +115,11 @@ def bulk_search(
             if not hits:
                 continue
             doc_ids, tfs = decode_postings(blob, np.asarray(offs, dtype=np.int64))
+            if dele.size:
+                keep = ~in_tombstones(doc_ids, dele)
+                doc_ids, tfs = doc_ids[keep], tfs[keep]
+                if doc_ids.size == 0:
+                    continue
             if scoring == "bm25":
                 idf = bm25_idf(float(df), n_docs)
                 tfv = tfs.astype(np.float64)
@@ -249,8 +260,14 @@ def _bulk_search_ranged(
             }
         )
 
+    # tombstoned doc_ids (pyfuseray.deletes), broadcast once
+    from pyfuseray.deletes import in_tombstones, load_tombstones
+
+    del_ref = ray.put(load_tombstones(index_dir, m))
+
     def raw_stage(batch: pa.Table) -> pa.Table:
         qt = ray.get(q_ref)
+        dele = ray.get(del_ref)
         out_q, out_d, out_1, out_2 = [], [], [], []
         terms = batch.column("term").to_pylist()
         dfs = batch.column("df").to_numpy(zero_copy_only=False)
@@ -261,6 +278,11 @@ def _bulk_search_ranged(
             if not hits:
                 continue
             doc_ids, tfs = decode_postings(blob, np.asarray(offs, dtype=np.int64))
+            if dele.size:
+                keep = ~in_tombstones(doc_ids, dele)
+                doc_ids, tfs = doc_ids[keep], tfs[keep]
+                if doc_ids.size == 0:
+                    continue
             if scoring == "bm25":
                 idf = bm25_idf(float(df), n_docs)
                 for qid, _qtf in hits:

@@ -85,7 +85,32 @@ def encode_runs(
         inv[i] = setdefault(t, len(code_of))
     codes = list(code_of)
     order = np.lexsort((docs, inv))
-    inv_s, docs_s, tfs_s, dls_s = inv[order], docs[order], tfs[order], dls[order]
+    return encode_sorted_runs(
+        codes, inv[order], docs[order], tfs[order], dls[order],
+        num_buckets, bucket_memo, block_size,
+    )
+
+
+def encode_sorted_runs(
+    codes: list[str],
+    inv_s: np.ndarray,
+    docs_s: np.ndarray,
+    tfs_s: np.ndarray,
+    dls_s: np.ndarray,
+    num_buckets: int,
+    bucket_memo: dict[str, int],
+    block_size: int = BLOCK_SIZE,
+) -> pa.Table:
+    """Encode postings ALREADY sorted by (term code, doc_id) into run rows.
+
+    ``codes[inv_s[i]]`` is posting i's term. The core of ``encode_runs``,
+    exposed so callers that already hold (run, doc)-ordered postings —
+    the tokenizer after its lexsort, and ``deletes.compact`` after
+    filtering decoded runs (order-preserving mask) — skip the re-sort.
+    """
+    n = int(inv_s.size)
+    if n == 0:
+        return pa.table({}, schema=RUN_SCHEMA)
     # run (term) boundaries in the sorted arrays
     run_starts = np.flatnonzero(np.concatenate(([True], inv_s[1:] != inv_s[:-1])))
     run_ends = np.concatenate((run_starts[1:], [n]))

@@ -60,6 +60,7 @@ class IndexSearcher:
         self.analyzer = analyzer or make_analyzer(m.analyzer)
         self._norm_vals: np.ndarray | None = None
         self._dl_vals: np.ndarray | None = None
+        self._deleted: np.ndarray | None = None  # sorted tombstones (lazy)
         self._seg_datasets: dict[int, pads.Dataset] = {}
         # bounded term -> SegmentRow|None cache (zipfian query terms)
         self._row_cache: dict[str, SegmentRow | None] = {}
@@ -135,6 +136,31 @@ class IndexSearcher:
             self._load_docstats()
         return self._dl_vals
 
+    # -- tombstones (pyfuseray.deletes) --------------------------------------
+    # Deleted docs are filtered out of every result set; surviving docs
+    # keep their exact pre-delete scores (global stats stay pre-delete
+    # until deletes.compact — the Lucene staleness contract). Filtering
+    # happens BEFORE top-k selection so WAND's threshold never reflects
+    # a tombstoned doc, keeping TAAT/WAND bit-identity.
+    def _drop_deleted(
+        self, doc_ids: np.ndarray, scores: np.ndarray | None = None
+    ):
+        if self._deleted is None:
+            if getattr(self.manifest, "n_deleted", 0):
+                from pyfuseray.deletes import load_tombstones
+
+                self._deleted = load_tombstones(self.index_dir, self.manifest)
+            else:
+                self._deleted = np.zeros(0, dtype=np.int64)
+        if self._deleted.size == 0 or doc_ids.size == 0:
+            return doc_ids if scores is None else (doc_ids, scores)
+        from pyfuseray.deletes import in_tombstones
+
+        keep = ~in_tombstones(doc_ids, self._deleted)
+        if scores is None:
+            return doc_ids[keep]
+        return doc_ids[keep], scores[keep]
+
     # -- scoring ------------------------------------------------------------
     def search_tfidf(self, query: str, top_k: int = 10) -> list[tuple[int, float]]:
         """Reference-conformant TF-IDF cosine (TAAT, exhaustive)."""
@@ -168,6 +194,7 @@ class IndexSearcher:
             norms = self._norms()[uniq]
             nz = norms != 0
             scores[nz] = scores[nz] / (query_norm * norms[nz])
+        uniq, scores = self._drop_deleted(uniq, scores)
         return _topk(uniq, scores, top_k)
 
     def search_boolean(self, query: str, mode: str = "and") -> np.ndarray:
@@ -204,7 +231,7 @@ class IndexSearcher:
                     return out.astype(np.int64)
             else:
                 out = np.union1d(out, other)
-        return out.astype(np.int64)
+        return self._drop_deleted(out.astype(np.int64))
 
     def search_bm25(
         self,
@@ -264,6 +291,7 @@ class IndexSearcher:
         docs, contribs = docs[order], contribs[order]
         uniq, starts = np.unique(docs, return_index=True)
         scores = np.add.reduceat(contribs, starts)
+        uniq, scores = self._drop_deleted(uniq, scores)
         return _topk(uniq, scores, top_k)
 
     def _bm25_wand(self, seg_rows: list[SegmentRow], top_k: int, k1: float, b: float) -> list[tuple[int, float]]:
@@ -312,6 +340,9 @@ class IndexSearcher:
             docs, contribs = docs[order], contribs[order]
             uniq, starts = np.unique(docs, return_index=True)
             sums = np.add.reduceat(contribs, starts)
+            # tombstones drop BEFORE the threshold/heap update, so theta
+            # only ever reflects surviving docs (exactness + TAAT parity)
+            uniq, sums = self._drop_deleted(uniq, sums)
             if math.isfinite(theta):
                 keep = sums >= theta
                 uniq, sums = uniq[keep], sums[keep]
