@@ -567,6 +567,65 @@ def _q_bm25_topk_simple(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
+def _ensure_deleted_index(sf_dir: str, compacted: bool) -> str:
+    """Simple-analyzer documents index with doc_id % 7 == 0 tombstoned
+    (and optionally compacted) — the delete-lifecycle contract fixture.
+    Separate dirs per state so the shared simple index stays untouched."""
+    import shutil
+
+    from pyfuseray.build import build_index
+    from pyfuseray.checkpoint import load_manifest, save_manifest
+    from pyfuseray.deletes import compact, delete_documents
+
+    out = _index_dir_for(sf_dir) + ("_simple_cmp" if compacted else "_simple_del")
+    m = load_manifest(out)
+    if m is not None and m.stage_done("done") and m.stage_done("contract_del"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    corpus = _docs(sf_dir).select_columns(["doc_id", "text"])
+    build_index(corpus, out, num_buckets=4, num_salts=2, analyzer="simple")
+    m = load_manifest(out)
+    delete_documents(out, range(0, m.n_docs, 7))
+    if compacted:
+        compact(out)
+    m = load_manifest(out)
+    m.mark_stage("contract_del")
+    save_manifest(out, m)
+    return out
+
+
+def _bm25_ranked(ix: str) -> "pd.DataFrame":
+    """bulk_search + the (round(score,6) DESC, doc_id) re-rank shim
+    shared by every BM25 contract entry (see _q_bm25_topk_simple)."""
+    from pyfuseray.distributed_query import bulk_search
+
+    raw = bulk_search(ix, SIMPLE_BM25_QUERIES, top_k=50, scoring="bm25")
+    raw["score"] = raw["score"].round(6)
+    raw = raw.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    raw["rank"] = raw.groupby("query_id").cumcount()
+    out = raw[raw["rank"] < 10].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _q_bm25_topk_tombstoned(sf_dir: str):
+    """Tombstone-phase delete semantics (pyfuseray/deletes.py)
+    hash-checked: doc_id % 7 == 0 tombstoned, NOT compacted — surviving
+    docs keep exact FULL-corpus-stats scores (the Lucene staleness
+    contract) and deleted docs are filtered before top-k. Oracle:
+    full-corpus BM25-in-SQL with the deleted ids excluded at ranking."""
+    return _bm25_ranked(_ensure_deleted_index(sf_dir, compacted=False))
+
+
+def _q_bm25_topk_compacted(sf_dir: str):
+    """Post-compaction semantics hash-checked: tombstoned postings
+    physically removed, n_docs/avgdl/df recomputed over survivors —
+    results equal a fresh build over the surviving corpus. Oracle:
+    BM25-in-SQL computed entirely over documents WHERE doc_id % 7 <> 0."""
+    return _bm25_ranked(_ensure_deleted_index(sf_dir, compacted=True))
+
+
 def _q_topk_docs_per_lang(sf_dir: str):
     """Top-3 documents per language by (n_chars DESC, doc_id) — the
     distributed argmax-k-per-group operator (map-side partial top-k
@@ -1186,6 +1245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "knn_ivf_full": _q_knn_ivf_full,
         "bm25_topk_simple": _q_bm25_topk_simple,
+        "bm25_topk_tombstoned": _q_bm25_topk_tombstoned,
+        "bm25_topk_compacted": _q_bm25_topk_compacted,
         "incremental_df_simple": _q_incremental_df_simple,
         "topk_docs_per_lang": _q_topk_docs_per_lang,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1749,6 +1810,92 @@ def oracle_sql() -> dict[str, str]:
                 SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
                        (SELECT sum(tf) FROM tf)
                            / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+            ),
+            q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+            scores AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum(ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                           * tf.tf * (1.2 + 1.0)
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * dl.dl / c.avgdl))) AS score
+                FROM q
+                JOIN tf USING (term)
+                JOIN df USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN consts c
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT query_id, doc_id, round(score, 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM scores
+            ) WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        # tombstone-phase deletes (doc_id % 7 == 0): scores use FULL-corpus
+        # stats (stale until compact, by design); deleted ids are excluded
+        # only at ranking — mirrors the engine's pre-top-k tombstone filter
+        "bm25_topk_tombstoned": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            consts AS (
+                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                       (SELECT sum(tf) FROM tf)
+                           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+            ),
+            q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+            scores AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum(ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                           * tf.tf * (1.2 + 1.0)
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * dl.dl / c.avgdl))) AS score
+                FROM q
+                JOIN tf USING (term)
+                JOIN df USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN consts c
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT query_id, doc_id, round(score, 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM scores
+                WHERE doc_id % 7 <> 0
+            ) WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        # post-compaction: the whole BM25 computation (N, avgdl, df, dl)
+        # runs over the SURVIVING corpus — compact must equal a fresh
+        # build over documents WHERE doc_id % 7 <> 0
+        "bm25_topk_compacted": f"""
+            WITH docs AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+            toks AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM docs
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            consts AS (
+                SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+                       (SELECT sum(tf) FROM tf)
+                           / (SELECT count(*) FROM docs)::DOUBLE AS avgdl
             ),
             q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
             scores AS (
