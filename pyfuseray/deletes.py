@@ -136,12 +136,17 @@ def _filter_runs_batch(
         return pa.table({}, schema=RUN_SCHEMA)
     deleted = ray.get(deleted_ref) if hasattr(deleted_ref, "hex") else deleted_ref
 
+    # zero-copy: a binary column's data buffer IS the runs' concatenation
+    # (same pattern as segments._binary_offsets) — no per-row bytes
+    # objects, no join copy
     blob_col = batch.column("blob").combine_chunks()
-    blobs = blob_col.to_pylist()
-    run_lens = np.fromiter((len(x) for x in blobs), dtype=np.int64, count=len(blobs))
-    run_byte_start = np.zeros(len(blobs), dtype=np.int64)
-    np.cumsum(run_lens[:-1], out=run_byte_start[1:])
-    joined = b"".join(blobs)
+    bufs = blob_col.buffers()
+    owidth = np.int64 if pa.types.is_large_binary(blob_col.type) else np.int32
+    boff = np.frombuffer(bufs[1], dtype=owidth)[
+        blob_col.offset : blob_col.offset + len(blob_col) + 1
+    ].astype(np.int64)
+    run_byte_start = boff[:-1] - boff[0]
+    joined = memoryview(bufs[2])[boff[0] : boff[-1]]
 
     off_col = batch.column("offset").combine_chunks()
     off_flat = off_col.flatten().to_numpy()          # block byte offsets, run-local
