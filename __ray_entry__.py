@@ -1217,6 +1217,39 @@ def _q_top_bigrams_pmi(sf_dir: str):
     return top_bigrams_pmi(docs, min_count=5, k=30)
 
 
+def _q_dedup_spans(sf_dir: str):
+    """Duplicated-span removal (C4/CCNet-style boilerplate dedup,
+    pyfuseray/extras/spandedup.py): consecutive 4-word chunks occurring
+    in >= 2 distinct docs are removed everywhere and each doc re-joined
+    from its surviving chunks in order. Chunking/re-join are vectorized
+    Arrow batch-local ops; duplicate discovery is ONE coarse-bucket
+    groupby over per-batch (chunk, distinct-doc) partials; the dup set
+    is broadcast (size-gated; distributed route pinned identical by
+    tests/test_spandedup.py). Oracle: the same chunking via
+    generate_subscripts + re-aggregation in SQL."""
+    from pyfuseray.extras.spandedup import dedup_spans
+
+    out = dedup_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=4, min_docs=2
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (pyfuseray/extras/packing.py): concatenate all
+    docs in doc_id order into one token stream cut every 512 tokens;
+    each doc gets (seq_id, seq_offset) of its first token. Prefix sum
+    rides extras/scan.running_sum (bucket totals -> driver exclusive
+    scan over O(buckets) state -> one coarse shuffle); integer-exact, so
+    the window-function oracle hash-matches without rounding."""
+    from pyfuseray.extras.packing import pack_sequences
+    from pyfuseray.extras.textstats import token_counts
+
+    counts = token_counts(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    out = pack_sequences(counts, seq_len=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checkable
@@ -1266,6 +1299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_pmi": _q_top_bigrams_pmi,
         "repetition_stats": _q_repetition_stats,
         "contamination_pairs": _q_contamination_pairs,
+        "dedup_spans": _q_dedup_spans,
+        "pack_sequences": _q_pack_sequences,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -2038,6 +2073,57 @@ def oracle_sql() -> dict[str, str]:
             FROM tr JOIN ev USING (gram)
             GROUP BY tr.doc_id, ev.doc_id
             ORDER BY train_id, eval_id
+        """,
+        # C4/CCNet-style duplicated-span removal: the same 4-word
+        # chunking via generate_subscripts, chunks in >= 2 distinct docs
+        # dropped, docs re-joined from survivors in chunk order
+        "dedup_spans": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, wi // 4 AS chunk_no,
+                       string_agg(w, ' ' ORDER BY wi) AS chunk
+                FROM words GROUP BY doc_id, wi // 4
+            ),
+            counts AS (
+                SELECT chunk, count(DISTINCT doc_id) AS nd
+                FROM chunks GROUP BY chunk
+            ),
+            flagged AS (
+                SELECT c.doc_id, c.chunk_no, c.chunk, (t.nd >= 2) AS dup
+                FROM chunks c JOIN counts t USING (chunk)
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(CASE WHEN NOT f.dup THEN f.chunk END,
+                                       ' ' ORDER BY f.chunk_no), '') AS clean_text,
+                   CAST(count(f.chunk_no) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(sum(CASE WHEN f.dup THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_dropped
+            FROM documents d LEFT JOIN flagged f USING (doc_id)
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # sequence packing: prefix sum of token counts in doc_id order,
+        # cut every 512 tokens (integer-exact, no rounding needed)
+        "pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS run
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((run - n_tokens) // 512 AS BIGINT) AS seq_id,
+                   CAST((run - n_tokens) % 512 AS BIGINT) AS seq_offset
+            FROM r ORDER BY doc_id
         """,
         # Gopher repetition signals: duplicate-3gram fraction (inclusive
         # list slicing t[i:i+2] = 3 tokens) and top-token mass; same
