@@ -42,7 +42,7 @@ from pyfuseray.checkpoint import (
 )
 from pyfuseray.postings import DEFAULT_NUM_BUCKETS, TokenizerStage, tokenize_batch
 from pyfuseray.segments import build_bucket_segment
-from pyfuseray.stats import df_dataset, docstats_dataset, total_tokens
+from pyfuseray.stats import df_dataset, docstats_dataset
 
 
 def _pin_fsspec_http_stub() -> None:
@@ -138,8 +138,21 @@ def build_index(
     bucket_parallelism: int = 4,
     overwrite: bool = False,
     analyzer: str = "reference",
+    corpus_sorted: bool = False,
 ) -> Manifest:
-    """Build (or resume building) an index from a (doc_id, text) Dataset."""
+    """Build (or resume building) an index from a (doc_id, text) Dataset.
+
+    ``corpus_sorted``: the caller guarantees the corpus arrives
+    doc_id-sorted with a canonical block structure (the production
+    ingest in ``pipeline.build_from_pages`` sorts before building).
+    That enables the run-decode docstats fast path, whose float
+    summation order follows the run structure: norms can differ from
+    the canonical segment-decode path in the last ulp (~1e-14, far
+    inside the 1e-9 conformance tolerance) but are reproducible for a
+    given corpus layout. Callers that rebuild the same logical corpus
+    under DIFFERENT row orders and require bit-identical tie-breaks
+    (the sorted-vs-unsorted and interrupted-resume invariants in
+    tests/) leave this False and take the canonical segments decode."""
     _pin_fsspec_http_stub()
     if overwrite and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
@@ -244,6 +257,8 @@ def build_index(
             def _write_postings():
                 try:
                     postings_mem.write_parquet(tmp_post, partition_cols=["bucket"])
+                    # an EMPTY dataset writes no files and no directory
+                    os.makedirs(tmp_post, exist_ok=True)
                     os.replace(tmp_post, postings_dir)
                 except BaseException as e:  # surfaced after join
                     post_err.append(e)
@@ -252,6 +267,7 @@ def build_index(
             post_writer.start()
         else:
             postings.write_parquet(postings_dir, partition_cols=["bucket"])
+            os.makedirs(postings_dir, exist_ok=True)  # empty-corpus edge
             m.mark_stage("postings", wall_s=round(time.perf_counter() - t0, 3))
             save_manifest(out_dir, m)
 
@@ -259,20 +275,66 @@ def build_index(
         postings_mem if postings_mem is not None else rd.read_parquet(postings_dir)
     )
 
-    # -- stage B: avgdl (native shuffle-free aggregate) --------------------
-    if not m.stage_done("avgdl"):
+    # -- stage B: avgdl + final per-term df, ONE blob-free pass ------------
+    # final_df_table aggregates (term, df, cf) from run rows without
+    # decoding a single blob: total tokens (avgdl) = sum cf, and the df
+    # column feeds the docstats idf broadcast in stage D — one pipeline
+    # execution where round 2 ran two (sum("cf") + a full segment decode
+    # for df-at-docstats).
+    from pyfuseray.stats import final_df_table
+
+    df_tbl: pa.Table | None = None
+    if not m.stage_done("avgdl") or not m.stage_done("docstats"):
         t0 = time.perf_counter()
-        # resume path: prune to the one needed column at the read
-        narrow = (
+        agg_src = (
             postings_mem
             if postings_mem is not None
-            else rd.read_parquet(postings_dir, columns=["cf"])
+            else rd.read_parquet(postings_dir, columns=["term", "df", "cf"])
         )
-        total = total_tokens(narrow)
-        m.total_postings = total
-        m.avgdl = (total / n_docs) if n_docs else 0.0
-        m.mark_stage("avgdl", wall_s=round(time.perf_counter() - t0, 3), total_tokens=total)
-        save_manifest(out_dir, m)
+        df_tbl = final_df_table(agg_src)
+        if not m.stage_done("avgdl"):
+            import pyarrow.compute as pc
+
+            total = int(pc.sum(df_tbl.column("cf")).as_py() or 0)
+            m.total_postings = total
+            m.avgdl = (total / n_docs) if n_docs else 0.0
+            m.mark_stage("avgdl", wall_s=round(time.perf_counter() - t0, 3),
+                         total_tokens=total)
+            save_manifest(out_dir, m)
+
+    # -- stage D' (overlapped): docstats from runs ---------------------------
+    # docstats no longer reads the merged segments (it decodes the RUN
+    # rows with the final df broadcast from stage B), so on fresh
+    # in-memory builds it runs CONCURRENTLY with the stage-C segment
+    # shuffle on a driver side thread — its decode work fills stage C's
+    # sort-barrier idle gaps instead of serializing after them.
+    from pyfuseray.stats import VOCAB_BROADCAST_LIMIT, docstats_from_runs
+
+    stats_path = os.path.join(stats_dir, "docstats.parquet")
+    docstats_thread: threading.Thread | None = None
+    docstats_err: list[BaseException] = []
+    t_docstats0 = 0.0
+    if (
+        corpus_sorted
+        and not m.stage_done("docstats")
+        and postings_mem is not None
+        and df_tbl is not None
+        and df_tbl.num_rows <= VOCAB_BROADCAST_LIMIT
+    ):
+        if os.path.exists(stats_path):
+            shutil.rmtree(stats_path)
+        t_docstats0 = time.perf_counter()
+
+        def _write_docstats():
+            try:
+                docstats_from_runs(postings_mem, n_docs, df_tbl).sort(
+                    "doc_id"
+                ).write_parquet(stats_path)
+            except BaseException as e:  # surfaced after join
+                docstats_err.append(e)
+
+        docstats_thread = threading.Thread(target=_write_docstats, daemon=True)
+        docstats_thread.start()
 
     # -- stage C: segment build (resumable per bucket) ----------------------
     # Layout: segments/bucket=k/*.parquet (hive). Fresh builds do ONE
@@ -387,28 +449,14 @@ def build_index(
         save_manifest(out_dir, m)
 
     # fresh builds reuse the materialized segments for the integer-exact
-    # df projection (identical from any block structure); docstats ALWAYS
-    # reads the persisted files — its float partial sums depend on block
-    # boundaries, and the parquet layout is the canonical structure both
-    # fresh and resumed builds must agree on (rebuild determinism)
+    # df projection (identical from any block structure); the canonical
+    # docstats fallback reads the persisted files — its float partial
+    # sums depend on block boundaries, and the parquet layout is the
+    # canonical structure both fresh and resumed builds must agree on
+    # (rebuild determinism; see corpus_sorted in the signature)
+    os.makedirs(segments_dir, exist_ok=True)  # empty-corpus edge
     segments_all = seg_mem if seg_mem is not None else rd.read_parquet(segments_dir)
-    # docstats decode is the single heaviest post-shuffle stage, and the
-    # segment layout is many SMALL files: Ray's default read bundles them
-    # toward its ~128 MB block target, leaving a handful of fused
-    # read->decode tasks no matter how many CPUs the cluster has (~10%
-    # utilization at 32 CPUs). Force ~4 read blocks per CPU (capped at
-    # one per file) so the decode fans out with the cluster; measured on
-    # the 400k-page index: 14.0 -> 9.6 s at 8 CPUs, 7.0 -> 4.0 s at 32.
-    # Float partial sums shift at ~1e-16 with block boundaries (inside
-    # the 1e-9 conformance tolerance, see stats.docstats_dataset).
     n_cpu = int(ray.cluster_resources().get("CPU", 8))
-    # 8 read blocks per CPU (row-group granularity — parquet files split
-    # below file level, so no file-count cap): decode stragglers shrink
-    # and the groupby overlaps them. Measured on the 1.2M-page index at
-    # 16 CPUs: 19.7 s (16 blocks) -> 12.8 s (64) -> 11.4 s (128).
-    segments_disk = rd.read_parquet(
-        segments_dir, override_num_blocks=max(1, 8 * n_cpu)
-    )
 
     # -- stage D: df + exact norms ------------------------------------------
     if not m.stage_done("df"):
@@ -421,13 +469,56 @@ def build_index(
         save_manifest(out_dir, m)
 
     if not m.stage_done("docstats"):
-        t0 = time.perf_counter()
-        path = os.path.join(stats_dir, "docstats.parquet")
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        docstats_dataset(segments_disk, n_docs).sort("doc_id").write_parquet(path)
-        m.mark_stage("docstats", wall_s=round(time.perf_counter() - t0, 3))
-        save_manifest(out_dir, m)
+        if docstats_thread is not None:
+            # overlapped route: the side thread has been decoding runs
+            # since before stage C; by now it is done or nearly so
+            docstats_thread.join()
+            if docstats_err:
+                raise docstats_err[0]
+            m.mark_stage(
+                "docstats",
+                wall_s=round(time.perf_counter() - t_docstats0, 3),
+                overlapped=True,
+            )
+            save_manifest(out_dir, m)
+        else:
+            # sequential route (resume from files, or vocabulary above
+            # the broadcast gate): decode RUN files when present, else
+            # fall back to the segments decode
+            t0 = time.perf_counter()
+            if os.path.exists(stats_path):
+                shutil.rmtree(stats_path)
+            runs_src = None
+            if corpus_sorted and os.path.isdir(postings_dir):
+                runs_src = rd.read_parquet(
+                    postings_dir,
+                    columns=["term", "first_doc", "last_doc_max", "df",
+                             "blob", "offset"],
+                    override_num_blocks=max(1, 4 * n_cpu),
+                )
+            stats_ds = None
+            if (
+                runs_src is not None
+                and df_tbl is not None
+                and df_tbl.num_rows <= VOCAB_BROADCAST_LIMIT
+            ):
+                stats_ds = docstats_from_runs(runs_src, n_docs, df_tbl)
+            if stats_ds is None:
+                # canonical segments decode. The segment layout is many
+                # SMALL files: Ray's default read bundles them toward
+                # its ~128 MB block target, leaving a handful of fused
+                # read->decode tasks no matter how many CPUs the
+                # cluster has. 8 read blocks per CPU (row-group
+                # granularity): decode stragglers shrink and the
+                # groupby overlaps them (1.2M-page index at 16 CPUs:
+                # 19.7 s at 16 blocks -> 11.4 s at 128).
+                segments_disk = rd.read_parquet(
+                    segments_dir, override_num_blocks=max(1, 8 * n_cpu)
+                )
+                stats_ds = docstats_dataset(segments_disk, n_docs)
+            stats_ds.sort("doc_id").write_parquet(stats_path)
+            m.mark_stage("docstats", wall_s=round(time.perf_counter() - t0, 3))
+            save_manifest(out_dir, m)
 
     # compression metrics: delta+varbyte blob bytes vs the reference's
     # fixed 8-byte (doc_id:I, tf:I) postings (InvertedIndexFinal.py:231)

@@ -217,7 +217,8 @@ def build_from_pages(
             extracted.sort("doc_id").write_parquet(tmp_final)
             os.replace(tmp_final, final)
             corpus = rd.read_parquet(final, columns=["doc_id", "text"])
-            return build_index(corpus, out_dir, n_docs=n_docs, **build_kwargs)
+            return build_index(corpus, out_dir, n_docs=n_docs,
+                               corpus_sorted=True, **build_kwargs)
 
         corpus_mat = extracted.sort("doc_id").materialize()
         # the checkpoint write is pure disk work — overlap it with the
@@ -247,7 +248,7 @@ def build_from_pages(
         try:
             manifest = build_index(
                 corpus_mat.select_columns(["doc_id", "text"]), out_dir,
-                n_docs=n_docs, **build_kwargs,
+                n_docs=n_docs, corpus_sorted=True, **build_kwargs,
             )
         finally:
             writer.join()
@@ -255,7 +256,7 @@ def build_from_pages(
             raise err[0]
         return manifest
     corpus = rd.read_parquet(final, columns=["doc_id", "text"])
-    return build_index(corpus, out_dir, **build_kwargs)
+    return build_index(corpus, out_dir, corpus_sorted=True, **build_kwargs)
 
 
 def search(index_dir: str, query: str, top_k: int = 10, *, scoring: str = "tfidf",

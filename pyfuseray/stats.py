@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from pyfuseray.codec import decode_postings
@@ -102,6 +103,17 @@ def docstats_dataset(
             }
         )
 
+    return _reduce_docstats(
+        segments.map_batches(
+            tf_w2_partials, batch_format="pyarrow", batch_size=batch_size
+        )
+    )
+
+
+def _reduce_docstats(rows: rd.Dataset) -> rd.Dataset:
+    """(doc_bucket, doc_id, dl, w2) partial rows -> (doc_id, dl, norm):
+    one doc-range-bucket shuffle + vectorized per-doc reductions."""
+
     def bucket_stats(group: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         if len(group.get("doc_id", ())) == 0:
             # dtype-stable empty block (anything else trips Ray's
@@ -120,19 +132,176 @@ def docstats_dataset(
         norm[norm == 0.0] = 1.0
         return {"doc_id": uniq, "dl": dl_sum, "norm": norm}
 
-    # explicit batch_size: segment blocks/files are tiny (term-sorted
-    # writes produce ~dozen-row blocks), and per-block batches make the
-    # map-side combine collapse nothing — one partial row per POSTING
-    # goes through the shuffle. Each ~256-term batch still covers most
-    # doc ids, so the combine emits ~n_docs rows per batch instead
-    # (60M postings -> bounded shuffle rows on the 400k-page corpus).
-    # 256 over 1024: 4x the tasks (load balance at 32 CPUs — the 20k-row
-    # segment table at bs=1024 is only ~20 tasks) AND each batch's
-    # lexsort/unique runs on ~1.2M elements instead of ~4.8M, which is
-    # superlinearly cheaper and cache-resident. Measured on the same
-    # on-disk 400k-page index: 32 CPUs 20.0 -> 10.5 s, 8 CPUs
-    # 26.4 -> 17.5 s (bs=128 is not better; bs=2048 is 2-3x worse).
-    rows = segments.map_batches(
-        tf_w2_partials, batch_format="pyarrow", batch_size=batch_size
-    )
     return rows.groupby("doc_bucket").map_groups(bucket_stats, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# docstats from SPIMI runs (the fresh-build fast path)
+# ---------------------------------------------------------------------------
+
+# above this many distinct terms the (term -> final df) table stops
+# being a sane driver aggregate + object-store broadcast and
+# build_index falls back to the segments-decode docstats path
+VOCAB_BROADCAST_LIMIT = 20_000_000
+
+
+def final_df_table(runs: rd.Dataset) -> pa.Table:
+    """(term, df, cf) with FINAL document/collection frequencies,
+    aggregated from run rows WITHOUT decoding any blob — one pass serves
+    both the avgdl stage (total tokens = sum cf) and the docstats idf
+    broadcast.
+
+    Exact because ``map_batches`` never splits a document row across
+    batches, so every (term, doc) pair lives in exactly ONE run row and
+    final df = sum of run dfs. Map-side partials (one row per distinct
+    term per batch) concat on the driver into a single pyarrow
+    ``group_by`` over <= vocab x n_batches rows — callers gate on
+    ``VOCAB_BROADCAST_LIMIT``."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["term", "df", "cf"])
+            .group_by("term")
+            .aggregate([("df", "sum"), ("cf", "sum")])
+        )
+
+    parts = ray.get(
+        runs.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    # empty corpora yield schemaless empty blocks — drop them
+    parts = [p for p in parts if "term" in p.column_names and p.num_rows]
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "cf": pa.array([], pa.int64())})
+    merged = (
+        pa.concat_tables(parts)
+        .group_by("term")
+        .aggregate([("df_sum", "sum"), ("cf_sum", "sum")])
+    )
+    return pa.table(
+        {"term": merged.column("term"),
+         "df": merged.column("df_sum_sum").cast(pa.int64()),
+         "cf": merged.column("cf_sum_sum").cast(pa.int64())}
+    )
+
+
+def docstats_from_runs(
+    runs: rd.Dataset, n_docs: int, df_tbl: pa.Table, *, batch_size: int | None = None
+) -> rd.Dataset:
+    """(doc_id, dl, norm) decoded from SPIMI RUN rows instead of merged
+    segments — the fresh-build fast path.
+
+    Why runs: the corpus is doc_id-sorted before tokenizing, so run rows
+    arrive doc-range-CLUSTERED (each tokenizer batch covers one
+    contiguous ~4k-doc range). A decode batch therefore touches only a
+    narrow doc range and the map-side combine collapses to ~range-width
+    rows via plain ``np.bincount`` offset indexing — no per-batch
+    lexsort over millions of postings, and the doc-bucket shuffle moves
+    ~n_docs rows total instead of ~n_docs x n_decode_batches (measured
+    36 s -> segments path vs runs path on the 1.2M-page bench index at
+    16 CPUs; see BASELINE.md round 3). Final per-term df (the segments
+    haven't merged yet) comes from ``final_df_table`` broadcast once via
+    ``ray.put``; idf^2 is looked up per run row with ``pc.index_in``.
+
+    Float note: within a batch, per-doc w^2 adds run in decode order
+    (not the sorted order ``docstats_dataset`` uses) and cross-batch
+    partials combine in shuffle order — both drift O(1e-15), far inside
+    the 1e-9 conformance tolerance (rank-identity suites pass on either
+    path; ``tests/test_build_golden.py`` pins norms vs the oracle).
+
+    If a batch turns out NOT doc-clustered (resumed read over shuffled
+    files), the bincount window would blow up; batches wider than
+    ``8 x postings`` fall back to the lexsort+unique combine."""
+    import math
+
+    import ray
+
+    terms = df_tbl.column("term").combine_chunks()
+    dfv = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        idf = np.log10(np.where(dfv > 0, n_docs / np.maximum(dfv, 1e-300), 1.0))
+    idf2 = np.where(dfv > 0, idf * idf, 0.0)
+    lookup_ref = ray.put((terms, idf2))
+
+    def run_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "doc_bucket": pa.array([], pa.int64()),
+             "dl": pa.array([], pa.int64()),
+             "w2": pa.array([], pa.float64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        b_terms, b_idf2 = ray.get(lookup_ref)
+        pos = pc.index_in(
+            batch.column("term").combine_chunks(), value_set=b_terms
+        ).to_numpy(zero_copy_only=False)
+        row_idf2 = b_idf2[pos]
+        lo = int(pc.min(batch.column("first_doc")).as_py())
+        hi = int(pc.max(batch.column("last_doc_max")).as_py())
+        # ONE varbyte decode over the batch's concatenated blobs (run
+        # rows are ~30-posting blobs — per-row decode calls would pay
+        # 5.9M x call overhead on the 1.2M-page corpus). The binary
+        # column's data buffer IS the concatenation; every block
+        # restarts from an absolute doc_id, so joint decode is exact
+        # (same pattern as deletes._filter_runs_batch).
+        blob_col = batch.column("blob").combine_chunks()
+        bufs = blob_col.buffers()
+        owidth = np.int64 if pa.types.is_large_binary(blob_col.type) else np.int32
+        boff = np.frombuffer(bufs[1], dtype=owidth)[
+            blob_col.offset : blob_col.offset + len(blob_col) + 1
+        ].astype(np.int64)
+        run_byte_start = boff[:-1] - boff[0]
+        joined = memoryview(bufs[2])[boff[0] : boff[-1]]
+        off_col = batch.column("offset").combine_chunks()
+        off_flat = off_col.flatten().to_numpy()
+        loff = off_col.offsets.to_numpy()
+        blocks_per_run = np.diff(loff)
+        global_offsets = off_flat + np.repeat(run_byte_start, blocks_per_run)
+        doc, tf = decode_postings(joined, global_offsets)
+        dfv_rows = batch.column("df").to_numpy(zero_copy_only=False)
+        run_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), dfv_rows)
+        a = 1.0 + np.log10(np.maximum(tf, 1.0))
+        w2 = (a * a) * row_idf2[run_idx]
+        width = hi - lo + 1
+        if width <= max(8 * doc.size, 1 << 22):
+            # doc-range-clustered fast path: ONE bincount per column over
+            # the batch's narrow doc window (no lexsort over postings).
+            # bincount weight sums are float64 — exact for the int tfs.
+            rel = doc - lo
+            dl_acc = np.bincount(rel, weights=tf, minlength=width)
+            w2_acc = np.bincount(rel, weights=w2, minlength=width)
+            present = np.bincount(rel, minlength=width) > 0
+            docs = np.flatnonzero(present)
+            return pa.table(
+                {
+                    "doc_id": pa.array(docs + lo, pa.int64()),
+                    "doc_bucket": pa.array((docs + lo) // DOC_BUCKET, pa.int64()),
+                    "dl": pa.array(dl_acc[docs].astype(np.int64), pa.int64()),
+                    "w2": pa.array(w2_acc[docs], pa.float64()),
+                }
+            )
+        # un-clustered fallback: lexsort+unique combine (segments shape)
+        order = np.lexsort((w2, doc))
+        doc, tf, w2 = doc[order], tf[order], w2[order]
+        uniq, starts = np.unique(doc, return_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "doc_bucket": pa.array(uniq // DOC_BUCKET, pa.int64()),
+                "dl": pa.array(np.add.reduceat(tf, starts), pa.int64()),
+                "w2": pa.array(np.add.reduceat(w2, starts), pa.float64()),
+            }
+        )
+
+    # batch_size=None (per-block): each materialized tokenize block IS
+    # one tokenizer batch's runs, covering exactly one contiguous
+    # ~4k-doc range — the tightest possible bincount window and no
+    # cross-block concat. Resumed file reads may mix ranges; the width
+    # gate above falls back per batch.
+    rows = runs.map_batches(
+        run_partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return _reduce_docstats(rows)
