@@ -386,6 +386,18 @@ def _bench_dedup(corpus_dir: str) -> dict:
     t0 = time.perf_counter()
     out["simhash_candidates"] = simhash_candidates(corpus(), n_docs=n).count()
     out["simhash_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
+
+    from pyfuseray.extras.packing import pack_sequences
+    from pyfuseray.extras.spandedup import dedup_spans
+    from pyfuseray.extras.textstats import token_counts
+
+    t0 = time.perf_counter()
+    cleaned = dedup_spans(corpus(), k=4, min_docs=2).materialize()
+    out["spandedup_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
+    out["spandedup_chunks_dropped"] = int(cleaned.sum("n_dropped") or 0)
+    t0 = time.perf_counter()
+    pack_sequences(token_counts(corpus()), seq_len=2048).count()
+    out["pack_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
     return out
 
 

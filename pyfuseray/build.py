@@ -117,8 +117,9 @@ def _segment_checksums(seg: rd.Dataset) -> dict[int, tuple[int, int, int]]:
 
 # above this doc count stage A stops pinning the materialized run rows
 # in the object store for the build (mirrors pipeline.MATERIALIZE_DOC_LIMIT
-# for the corpus checkpoint): write-first + stream-from-files instead
-POSTINGS_MATERIALIZE_DOC_LIMIT = 2_000_000
+# for the corpus checkpoint, incl. its sizing rationale): write-first +
+# stream-from-files instead
+POSTINGS_MATERIALIZE_DOC_LIMIT = 5_000_000
 
 
 def build_index(

@@ -129,8 +129,14 @@ def jsonl_to_corpus(
 # corpus parquet is written FIRST (streaming) and the build re-reads it
 # from files — holding corpus-sized object-store state while ALSO
 # writing it to parquet doubles disk traffic at the 100x scale, and the
-# resume path already is the read-from-files code
-MATERIALIZE_DOC_LIMIT = 2_000_000
+# resume path already is the read-from-files code. Sized for a single
+# 128 GiB node's object store (~38 GiB default): 5M docs x ~2 KiB text
+# ≈ 10 GiB resident, ~25% of it — measured on this host the write-first
+# route is ~3x slower per doc (disk round-trips), so the gate should
+# only trip when residency genuinely threatens the store. On a
+# multi-node cluster the object store is aggregate; this per-driver
+# constant stays conservative.
+MATERIALIZE_DOC_LIMIT = 5_000_000
 
 
 def build_from_pages(

@@ -36,7 +36,24 @@ def df_dataset(segments: rd.Dataset) -> rd.Dataset:
     return segments.select_columns(["term", "df", "cf"])
 
 
-DOC_BUCKET = 4096
+def _doc_bucket_width(n_docs: int) -> int:
+    """Doc-range shuffle bucket width for the docstats reduce.
+
+    Fixed 4096 would make the framework group count scale linearly with
+    the corpus (2.4e8 map_groups calls at 10^12 docs — the per-group
+    overhead blowup the dedup family's coarse-bucket invariant exists to
+    avoid). Target instead: enough groups to keep every core busy
+    (16 x CPUs) and each group's partial rows under ~256 MB, whichever
+    needs MORE groups. Per-doc results are identical under any width —
+    all of a doc's partials land in one group and the reduce sorts
+    within each doc before summing — so this is shape-only."""
+    import ray
+
+    ncpu = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    target_groups = max(16 * ncpu, (n_docs * 24) >> 28)
+    return max(256, n_docs // target_groups + 1)
 
 
 def docstats_dataset(
@@ -46,12 +63,14 @@ def docstats_dataset(
     ONE decode pass + ONE doc_id-keyed shuffle over the (compressed)
     segments — dl = sum(tf), norm = sqrt(sum w^2) with zero -> 1.
 
-    The shuffle key is ``doc_id // DOC_BUCKET`` (a doc-RANGE bucket), not
-    doc_id itself: each group then holds ~DOC_BUCKET complete documents
-    and the per-doc reductions run as vectorized numpy segment ops
-    (lexsort + reduceat) instead of one Python call per document. w^2
-    contributions are sorted within each doc before summation so the
-    float64 norm is deterministic under any shuffle order."""
+    The shuffle key is a doc-RANGE bucket (``doc_id // width``, width
+    from ``_doc_bucket_width``), not doc_id itself: each group then
+    holds a bounded-count slab of complete documents and the per-doc
+    reductions run as vectorized numpy segment ops (lexsort + reduceat)
+    instead of one Python call per document. w^2 contributions are
+    sorted within each doc before summation so the float64 norm is
+    deterministic under any shuffle order (and any bucket width)."""
+    width = _doc_bucket_width(n_docs)
 
     def tf_w2_partials(batch: pa.Table) -> pa.Table:
         """Decode + map-side combine: one partial (dl, sum w^2) row per
@@ -97,7 +116,7 @@ def docstats_dataset(
         return pa.table(
             {
                 "doc_id": pa.array(uniq, type=pa.int64()),
-                "doc_bucket": pa.array(uniq // DOC_BUCKET, type=pa.int64()),
+                "doc_bucket": pa.array(uniq // width, type=pa.int64()),
                 "dl": pa.array(np.add.reduceat(tf, starts), type=pa.int64()),
                 "w2": pa.array(np.add.reduceat(w2, starts), type=pa.float64()),
             }
@@ -224,6 +243,7 @@ def docstats_from_runs(
         idf = np.log10(np.where(dfv > 0, n_docs / np.maximum(dfv, 1e-300), 1.0))
     idf2 = np.where(dfv > 0, idf * idf, 0.0)
     lookup_ref = ray.put((terms, idf2))
+    bucket_w = _doc_bucket_width(n_docs)
 
     def run_partials(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -278,7 +298,7 @@ def docstats_from_runs(
             return pa.table(
                 {
                     "doc_id": pa.array(docs + lo, pa.int64()),
-                    "doc_bucket": pa.array((docs + lo) // DOC_BUCKET, pa.int64()),
+                    "doc_bucket": pa.array((docs + lo) // bucket_w, pa.int64()),
                     "dl": pa.array(dl_acc[docs].astype(np.int64), pa.int64()),
                     "w2": pa.array(w2_acc[docs], pa.float64()),
                 }
@@ -290,7 +310,7 @@ def docstats_from_runs(
         return pa.table(
             {
                 "doc_id": pa.array(uniq, pa.int64()),
-                "doc_bucket": pa.array(uniq // DOC_BUCKET, pa.int64()),
+                "doc_bucket": pa.array(uniq // bucket_w, pa.int64()),
                 "dl": pa.array(np.add.reduceat(tf, starts), pa.int64()),
                 "w2": pa.array(np.add.reduceat(w2, starts), pa.float64()),
             }

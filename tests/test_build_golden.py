@@ -156,3 +156,36 @@ def test_unsorted_corpus_hits_decode_merge_fallback(tmp_path):
         assert sa.search_bm25(q, 10, algorithm="wand") == sb.search_bm25(
             q, 10, algorithm="wand"
         ), q
+
+
+def test_final_df_table_matches_segment_df(pangram_index):
+    """The blob-free run aggregate (stats.final_df_table — feeds avgdl
+    and the docstats idf broadcast) must agree exactly with the
+    canonical post-merge df table: every (term, doc) pair lives in ONE
+    run row, so run-df sums == merged dfs and run-cf sums == merged
+    cfs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pyfuseray.stats import final_df_table
+
+    ix = pangram_index.index_dir
+    runs = rd.read_parquet(f"{ix}/postings_raw")
+    got = (
+        final_df_table(runs)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    seg = pads.dataset(
+        [str(p) for p in __import__("pathlib").Path(f"{ix}/segments").rglob("*.parquet")]
+    ).to_table()
+    want = (
+        seg.select(["term", "df", "cf"])
+        .to_pandas()
+        .groupby("term", as_index=False)  # salted terms: one row per salt
+        .sum()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"df": "int64", "cf": "int64"}), want.astype({"df": "int64", "cf": "int64"}))
