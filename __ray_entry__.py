@@ -1250,6 +1250,39 @@ def _q_pack_sequences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_hybrid_rrf_simple(sf_dir: str):
+    """Hybrid sparse+dense retrieval (pyfuseray/extras/hybrid.py):
+    distributed BM25 scatter-gather (simple analyzer) + distributed
+    cosine vs anchor embeddings (query_id == anchor vec_id), fused with
+    Reciprocal Rank Fusion. Both rank lists use the
+    (round(score,6) DESC, id) overfetch-re-rank shim; the fused score
+    is the fixed-order two-term IEEE sum, so the DuckDB oracle
+    hash-matches without further rounding."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyfuseray.distributed_query import bulk_search
+    from pyfuseray.extras.hybrid import (
+        cosine_scores_vs_anchors,
+        hybrid_rrf,
+        rank_by_rounded_score,
+    )
+
+    ix = _ensure_simple_index(sf_dir)
+    raw = bulk_search(ix, SIMPLE_BM25_QUERIES, top_k=50, scoring="bm25")
+    bm = rank_by_rounded_score(raw, k_each=20)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "in", [0, 1, 2])])
+    anchors = {
+        int(t["vec_id"][i].as_py()): t["embedding"][i].as_py()
+        for i in range(t.num_rows)
+    }
+    cos = cosine_scores_vs_anchors(rd.read_parquet(emb_path), anchors)
+    cr = rank_by_rounded_score(cos, k_each=20)
+    return hybrid_rrf(bm, cr)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checkable
@@ -1301,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_pairs": _q_contamination_pairs,
         "dedup_spans": _q_dedup_spans,
         "pack_sequences": _q_pack_sequences,
+        "hybrid_rrf_simple": _q_hybrid_rrf_simple,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1318,6 +1352,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# from-scratch BM25 over the simple-analyzer tokens, shared by the
+# bm25_topk_simple and hybrid_rrf_simple oracles (k1=1.2, b=0.75 — the
+# engine's scoring.BM25_K1/BM25_B)
+_BM25_SCORES_CTE = """
+    toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*)::DOUBLE AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    consts AS (
+        SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+               (SELECT sum(tf) FROM tf)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+    ),
+    q(query_id, term) AS (VALUES {qvalues}),
+    scores AS (
+        SELECT q.query_id, tf.doc_id,
+               sum(ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / c.avgdl))) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN consts c
+        GROUP BY q.query_id, tf.doc_id
+    )
+"""
 
 # SimHash in SQL: per-token 64-bit hash = big-endian first 8 bytes of
 # md5 (('0x' || substr(md5(tok),1,16))::UBIGINT == int.from_bytes(
@@ -1830,36 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         # avgdl = total tokens / N; rank by (round(score,6) DESC, doc_id)
         # on both sides (see _q_bm25_topk_simple).
         "bm25_topk_simple": f"""
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest({_TOK}) AS term
-                FROM documents
-            ),
-            tf AS (
-                SELECT doc_id, term, count(*)::DOUBLE AS tf
-                FROM toks GROUP BY doc_id, term
-            ),
-            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-            consts AS (
-                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                       (SELECT sum(tf) FROM tf)
-                           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
-            ),
-            q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
-            scores AS (
-                SELECT q.query_id, tf.doc_id,
-                       sum(ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                           * tf.tf * (1.2 + 1.0)
-                           / (tf.tf + 1.2 * (1.0 - 0.75
-                                             + 0.75 * dl.dl / c.avgdl))) AS score
-                FROM q
-                JOIN tf USING (term)
-                JOIN df USING (term)
-                JOIN dl ON dl.doc_id = tf.doc_id
-                CROSS JOIN consts c
-                GROUP BY q.query_id, tf.doc_id
-            )
+            WITH {_BM25_SCORES_CTE.format(qvalues=_BM25_Q_VALUES)}
             SELECT query_id, rank, doc_id, score FROM (
                 SELECT query_id, doc_id, round(score, 6) AS score,
                        row_number() OVER (
@@ -1867,6 +1908,61 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY round(score, 6) DESC, doc_id
                        ) - 1 AS rank
                 FROM scores
+            ) WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        # hybrid sparse+dense retrieval: RRF over the BM25 ranks above
+        # and cosine ranks vs anchor embeddings (query_id == anchor
+        # vec_id); both rank lists under (round(score,6) DESC, id), the
+        # fused score is the fixed-order two-term IEEE sum — identical
+        # float ops as extras/hybrid.py, so no rounding before ordering
+        "hybrid_rrf_simple": f"""
+            WITH {_BM25_SCORES_CTE.format(qvalues=_BM25_Q_VALUES)},
+            bm AS (
+                SELECT query_id, doc_id, rb FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY round(score, 6) DESC, doc_id
+                           ) - 1 AS rb
+                    FROM scores
+                ) WHERE rb < 20
+            ),
+            anchors AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS av
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            cos AS (
+                SELECT a.query_id, e.vec_id AS doc_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), a.av), 6) AS cs
+                FROM embeddings e CROSS JOIN anchors a
+            ),
+            cr AS (
+                SELECT query_id, doc_id, rc FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cs DESC, doc_id
+                           ) - 1 AS rc
+                    FROM cos
+                ) WHERE rc < 20
+            ),
+            fused AS (
+                SELECT coalesce(bm.query_id, cr.query_id) AS query_id,
+                       coalesce(bm.doc_id, cr.doc_id) AS doc_id,
+                       coalesce(1.0 / (60.0 + bm.rb), 0.0)
+                           + coalesce(1.0 / (60.0 + cr.rc), 0.0) AS rrf
+                FROM bm FULL OUTER JOIN cr
+                  ON bm.query_id = cr.query_id AND bm.doc_id = cr.doc_id
+            )
+            SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_score FROM (
+                SELECT query_id, doc_id, rrf,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rrf DESC, doc_id
+                       ) - 1 AS rank
+                FROM fused
             ) WHERE rank < 10
             ORDER BY query_id, rank
         """,
