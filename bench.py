@@ -489,6 +489,8 @@ def run_latency_table() -> dict:
                          num_buckets=8, overwrite=True)
         build_s = time.perf_counter() - t0
         s = IndexSearcher(ix)
+        for q in QUERIES:  # warm the dictionary/row caches + page cache
+            s.search_bm25(q, 8, algorithm="auto")
         lats = []
         for q in QUERIES:
             runs = []

@@ -136,3 +136,42 @@ def test_rerun_content_identical(tmp_path):
     ma, mb = load_manifest(a), load_manifest(b)
     for k in range(4):
         assert ma.buckets[str(k)]["checksum"] == mb.buckets[str(k)]["checksum"]
+
+
+def test_resume_docstats_on_sorted_route(tmp_path):
+    """Crash AFTER segments but BEFORE docstats on the production
+    (corpus_sorted=True) route: the resume regenerates docstats through
+    the sequential runs-decode path (postings files on disk). Segment
+    checksums stay identical; searches stay rank-identical with scores
+    within the 1e-9 conformance tolerance (the runs decode's float
+    summation order may differ from the overlapped in-memory pass by
+    ~1e-14 — documented in build_index's corpus_sorted note)."""
+    full_dir = str(tmp_path / "full")
+    build_index(_corpus(), full_dir, num_buckets=4, num_salts=2,
+                overwrite=True, corpus_sorted=True)
+    ref_manifest = load_manifest(full_dir)
+
+    crash_dir = str(tmp_path / "crash")
+    shutil.copytree(full_dir, crash_dir)
+    m = json.load(open(manifest_path(crash_dir)))
+    for stage in ("docstats", "done"):
+        m["stages"].pop(stage, None)
+    json.dump(m, open(manifest_path(crash_dir), "w"))
+    shutil.rmtree(os.path.join(crash_dir, "stats", "docstats.parquet"))
+
+    m2 = build_index(_corpus(), crash_dir, num_buckets=4, num_salts=2,
+                     corpus_sorted=True)
+    assert m2.stage_done("done")
+    for k in range(4):
+        assert (m2.buckets[str(k)]["checksum"]
+                == ref_manifest.buckets[str(k)]["checksum"])
+
+    s_full, s_resumed = IndexSearcher(full_dir), IndexSearcher(crash_dir)
+    for q in PANGRAM_QUERIES:
+        a = s_full.search_tfidf(q, 10)
+        b = s_resumed.search_tfidf(q, 10)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        assert all(abs(sa - sb) < 1e-9 for (_, sa), (_, sb) in zip(a, b)), q
+        wa = s_full.search_bm25(q, 10, algorithm="wand")
+        wb = s_resumed.search_bm25(q, 10, algorithm="wand")
+        assert wa == wb, q  # bm25 uses integer dl: exact across routes
