@@ -1283,6 +1283,36 @@ def _q_hybrid_rrf_simple(sf_dir: str):
     return hybrid_rrf(bm, cr)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res, pyfuseray/extras/sampling.py): top-50
+    docs by ln(u)/n_chars with u from a 60-bit md5 of doc_id —
+    token-budget-aware corpus subsampling, inclusion probability
+    proportional to document length. Keys rounded 6dp + doc_id
+    tie-break on both sides. Oracle: the same formula as a SQL window."""
+    from pyfuseray.extras.sampling import weighted_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    out = weighted_sample(docs, 50, weight_col="n_chars").to_pandas()
+    out = out.sort_values("rank").reset_index(drop=True)
+    return out[["rank", "doc_id", "n_chars", "key"]]
+
+
+def _q_heavy_hitters_sketch(sf_dir: str):
+    """Single-pass approximate heavy hitters (Count-Min sketch +
+    pigeonhole candidates, pyfuseray/extras/sketch.py) — the
+    bounded-memory streaming tier next to the exact two-pass
+    `heavy_hitter_terms`. Approximate by design, so rows-only at the
+    driver; superset/overestimate guarantees and recall 1.0 vs the
+    exact operator are pinned by tests/test_sketch.py."""
+    from pyfuseray.extras.sketch import approx_heavy_hitters
+
+    return approx_heavy_hitters(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        threshold_frac=0.005,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checkable
@@ -1335,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _q_dedup_spans,
         "pack_sequences": _q_pack_sequences,
         "hybrid_rrf_simple": _q_hybrid_rrf_simple,
+        "weighted_sample_by_len": _q_weighted_sample,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1342,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_search_bm25_wand": _q_ft_search_bm25_wand,
         "sql_like_select": _q_sql_like_select,
         "bulk_search_bm25": _q_bulk_search_bm25,
+        "heavy_hitters_sketch": _q_heavy_hitters_sketch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "knn_graph_full": _q_knn_graph_full,
@@ -1729,6 +1761,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rank < 20
             ORDER BY lang, rank
+        """,
+        # A-Res weighted sampling: same u derivation as the stratified
+        # sampler, key = round(ln(u)/weight, 6), ties by doc_id
+        "weighted_sample_by_len": """
+            SELECT rank, doc_id, n_chars, key FROM (
+                SELECT doc_id, n_chars,
+                       round(ln((('0x' || substr(
+                                 md5(cast(doc_id AS VARCHAR)), 1, 15
+                             ))::BIGINT + 0.5) / 1152921504606846976.0)
+                             / greatest(n_chars, 1), 6) AS key,
+                       row_number() OVER (
+                           ORDER BY round(ln((('0x' || substr(
+                                 md5(cast(doc_id AS VARCHAR)), 1, 15
+                             ))::BIGINT + 0.5) / 1152921504606846976.0)
+                             / greatest(n_chars, 1), 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM documents
+            ) WHERE rank < 50
+            ORDER BY rank
         """,
         "asof_last_purchase": """
             WITH e AS (
