@@ -119,6 +119,42 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    import ray.data as rd
+
+    from pyfuseray.extras.curate import curate_corpus
+
+    _ray_session()
+    docs = rd.read_parquet(args.input)
+    stats = curate_corpus(
+        docs, args.out,
+        min_quality=args.min_quality,
+        langs=args.langs.split(",") if args.langs else None,
+        n_shards=args.shards,
+        resume=not args.overwrite,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_sample(args: argparse.Namespace) -> int:
+    import ray.data as rd
+
+    from pyfuseray.extras.sampling import weighted_sample
+
+    _ray_session()
+    docs = rd.read_parquet(args.input)
+    out = weighted_sample(
+        docs, args.k, weight_col=args.weight_col, id_col=args.id_col
+    )
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"rows": args.k, "out": args.out}))
+    else:
+        print(out.to_pandas().to_string(index=False))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyfuseray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +199,28 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--scoring", choices=["tfidf", "bm25"], default="tfidf")
     q.set_defaults(fn=cmd_sql)
+
+    c = sub.add_parser(
+        "curate",
+        help="filter -> exact dedup -> SimHash near-dedup -> partitioned sink",
+    )
+    c.add_argument("--input", required=True, help="(doc_id, text, lang) parquet")
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-quality", type=float, default=0.35)
+    c.add_argument("--langs", default=None, help="comma-separated keep list")
+    c.add_argument("--shards", type=int, default=16)
+    c.add_argument("--overwrite", action="store_true")
+    c.set_defaults(fn=cmd_curate)
+
+    w = sub.add_parser(
+        "sample", help="deterministic weighted sample without replacement"
+    )
+    w.add_argument("--input", required=True)
+    w.add_argument("--k", type=int, required=True)
+    w.add_argument("--weight-col", default="n_chars")
+    w.add_argument("--id-col", default="doc_id")
+    w.add_argument("--out", default=None, help="parquet dir (prints if omitted)")
+    w.set_defaults(fn=cmd_sample)
 
     args = p.parse_args(argv)
     return args.fn(args)
