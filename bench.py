@@ -424,7 +424,7 @@ def run_scaling() -> dict:
     # the only layout whose ratio survives the drift. Every raw run and
     # its /proc/stat share ship in the output so a polluted window is
     # visible rather than silently averaged in.
-    rounds = int(os.environ.get("PYFUSERAY_SCALE_ROUNDS", "2"))
+    rounds = int(os.environ.get("PYFUSERAY_SCALE_ROUNDS", "3"))
     runs_lo: list[dict] = []
     runs_hi: list[dict] = []
     for _ in range(rounds):
