@@ -1298,6 +1298,18 @@ def _q_weighted_sample(sf_dir: str):
     return out[["rank", "doc_id", "n_chars", "key"]]
 
 
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic training-shard shuffle (pyfuseray/extras/shuffle.py):
+    every doc draws a 60-bit epoch key from md5(f"{seed}:{doc_id}") and
+    lands in shard key % 16 — a reproducible global permutation for
+    epoch ordering, pure function of (data, seed). Oracle: the same md5
+    arithmetic in SQL ('0x'||15 hex chars fits BIGINT exactly)."""
+    from pyfuseray.extras.shuffle import shuffle_assign
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    return shuffle_assign(docs, 16, seed=7).to_pandas()
+
+
 def _q_heavy_hitters_sketch(sf_dir: str):
     """Single-pass approximate heavy hitters (Count-Min sketch +
     pigeonhole candidates, pyfuseray/extras/sketch.py) — the
@@ -1366,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "hybrid_rrf_simple": _q_hybrid_rrf_simple,
         "weighted_sample_by_len": _q_weighted_sample,
+        "shuffle_shards": _q_shuffle_shards,
         # rows-only (stemming / model paths have no DuckDB equivalent in
         # this sandbox)
         "ft_df_stemmed": _q_ft_df_stemmed,
@@ -1780,6 +1793,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rank < 50
             ORDER BY rank
+        """,
+        # deterministic epoch shuffle: key = 60-bit md5 of "seed:id",
+        # shard = key % n_shards (seed=7, n_shards=16 on both sides)
+        "shuffle_shards": """
+            SELECT doc_id, key, key % 16 AS shard FROM (
+                SELECT doc_id,
+                       ('0x' || substr(
+                           md5('7:' || cast(doc_id AS VARCHAR)), 1, 15
+                       ))::BIGINT AS key
+                FROM documents
+            ) ORDER BY doc_id
         """,
         "asof_last_purchase": """
             WITH e AS (

@@ -1,0 +1,61 @@
+"""Deterministic training-shard shuffle (pyfuseray/extras/shuffle.py)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from pyfuseray.extras.shuffle import (
+    shuffle_assign,
+    write_training_shards,
+)
+
+
+def _docs(n=200):
+    return pa.table(
+        {"doc_id": np.arange(n, dtype=np.int64), "val": np.arange(n) * 2}
+    )
+
+
+def test_assignment_deterministic_across_batch_structure():
+    tbl = _docs()
+    a = shuffle_assign(rd.from_arrow(tbl), 8, seed=3).to_pandas()
+    b = (
+        shuffle_assign(rd.from_arrow(tbl).repartition(7), 8, seed=3)
+        .to_pandas()
+    )
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["key"].values == b["key"].values).all()
+    assert (a["shard"].values == b["shard"].values).all()
+    assert (a["shard"].values == a["key"].values % 8).all()
+    # a different seed is a different permutation
+    c = shuffle_assign(rd.from_arrow(tbl), 8, seed=4).to_pandas()
+    c = c.sort_values("doc_id").reset_index(drop=True)
+    assert (a["key"].values != c["key"].values).any()
+
+
+def test_shards_roughly_balanced():
+    out = shuffle_assign(rd.from_arrow(_docs(400)), 8, seed=0).to_pandas()
+    counts = out["shard"].value_counts()
+    assert len(counts) == 8
+    assert counts.max() < 3 * counts.min()
+
+
+def test_write_training_shards_round_trip(tmp_path):
+    tbl = _docs(120)
+    out = str(tmp_path / "shards")
+    write_training_shards(rd.from_arrow(tbl), out, 4, seed=1)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == 4
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 120
+    assert sorted(back["doc_id"].tolist()) == list(range(120))
+    # within each shard file, rows are in ascending epoch-key order
+    for d in shard_dirs:
+        for f in os.listdir(os.path.join(out, d)):
+            keys = pq.read_table(os.path.join(out, d, f))["key"].to_numpy()
+            assert (np.diff(keys) > 0).all()
