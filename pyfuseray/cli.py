@@ -155,6 +155,20 @@ def cmd_sample(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_shuffle(args: argparse.Namespace) -> int:
+    import ray.data as rd
+
+    from pyfuseray.extras.shuffle import write_training_shards
+
+    _ray_session()
+    docs = rd.read_parquet(args.input)
+    write_training_shards(
+        docs, args.out, args.shards, seed=args.seed, id_col=args.id_col
+    )
+    print(json.dumps({"out": args.out, "shards": args.shards, "seed": args.seed}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyfuseray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -221,6 +235,17 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--id-col", default="doc_id")
     w.add_argument("--out", default=None, help="parquet dir (prints if omitted)")
     w.set_defaults(fn=cmd_sample)
+
+    h = sub.add_parser(
+        "shuffle",
+        help="deterministic epoch shuffle into sorted training shards",
+    )
+    h.add_argument("--input", required=True)
+    h.add_argument("--out", required=True, help="hive-partitioned parquet dir")
+    h.add_argument("--shards", type=int, default=16)
+    h.add_argument("--seed", type=int, default=0)
+    h.add_argument("--id-col", default="doc_id")
+    h.set_defaults(fn=cmd_shuffle)
 
     args = p.parse_args(argv)
     return args.fn(args)
