@@ -26,12 +26,15 @@ be diagnosed per shard and readers open only the shards they own.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
 _MASK60 = (1 << 60) - 1
+MANIFEST_NAME = "_shuffle_manifest.json"
 
 
 def _epoch_keys(ids: list, seed: int) -> np.ndarray:
@@ -87,4 +90,66 @@ def write_training_shards(
     assigned.sort(["shard", "key"]).write_parquet(
         out_dir, partition_cols=["shard"]
     )
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(
+            {"n_shards": n_shards, "seed": seed, "id_col": id_col}, f
+        )
     return assigned
+
+
+def read_training_shards(
+    out_dir: str, shards: list[int] | None = None
+) -> rd.Dataset:
+    """Read a training-shard layout back; with ``shards`` given, open
+    ONLY those ``shard=K/`` directories (a data-loader rank reads just
+    the shards it owns — physical pruning, not a post-read filter).
+
+    The hive ``shard`` column comes back as a string partition value, so
+    it is re-derived as int64 from ``key % n_shards`` (the same pure
+    function that assigned it) using the manifest written at shuffle
+    time; a missing directory just means that shard drew zero rows.
+    """
+    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    n_shards = int(manifest["n_shards"])
+
+    if shards is None:
+        paths = [
+            os.path.join(out_dir, d)
+            for d in sorted(os.listdir(out_dir))
+            if d.startswith("shard=")
+        ]
+    else:
+        bad = [s for s in shards if not 0 <= s < n_shards]
+        if bad:
+            raise ValueError(f"shards {bad} outside [0, {n_shards})")
+        paths = [
+            p
+            for s in shards
+            if os.path.isdir(p := os.path.join(out_dir, f"shard={s}"))
+        ]
+    # expand dirs to files: read_parquet treats list entries as files
+    files = [
+        os.path.join(d, f)
+        for d in paths
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise FileNotFoundError(
+            f"no shard files under {out_dir} for shards={shards}"
+        )
+    ds = rd.read_parquet(files)
+
+    def restore_shard(batch: pa.Table) -> pa.Table:
+        # the hive partition value may come back as a string column (and
+        # pyarrow can surface it alongside a stored copy): drop every
+        # existing shard field, then append the int64 derivation
+        while "shard" in batch.column_names:
+            batch = batch.remove_column(batch.column_names.index("shard"))
+        keys = batch.column("key").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(keys % np.int64(n_shards), pa.int64())
+        )
+
+    return ds.map_batches(restore_shard, batch_format="pyarrow")

@@ -7,7 +7,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+import pytest
+
 from pyfuseray.extras.shuffle import (
+    read_training_shards,
     shuffle_assign,
     write_training_shards,
 )
@@ -59,3 +62,27 @@ def test_write_training_shards_round_trip(tmp_path):
         for f in os.listdir(os.path.join(out, d)):
             keys = pq.read_table(os.path.join(out, d, f))["key"].to_numpy()
             assert (np.diff(keys) > 0).all()
+
+
+def test_read_training_shards_prunes_and_restores_shard(tmp_path):
+    tbl = _docs(160)
+    out = str(tmp_path / "shards")
+    assigned = write_training_shards(rd.from_arrow(tbl), out, 4, seed=5)
+    want = assigned.to_pandas()
+
+    # full read restores int64 shard == key % n_shards
+    full = read_training_shards(out).to_pandas()
+    assert len(full) == 160
+    assert full["shard"].dtype == np.int64
+    merged = full.merge(want, on="doc_id", suffixes=("", "_w"))
+    assert (merged["shard"] == merged["shard_w"]).all()
+
+    # a rank reading only shards [1, 3] sees exactly those rows
+    part = read_training_shards(out, shards=[1, 3]).to_pandas()
+    assert set(part["shard"].unique()) <= {1, 3}
+    assert sorted(part["doc_id"]) == sorted(
+        want[want["shard"].isin([1, 3])]["doc_id"]
+    )
+
+    with pytest.raises(ValueError, match="outside"):
+        read_training_shards(out, shards=[4])
