@@ -221,7 +221,7 @@ def run_bench() -> dict:
 
     # -- dedup family throughput over the bench corpus ----------------------
     dedup_stats = _bench_dedup(
-        os.path.join(f"/tmp/pyfuseray_bench_corpus_{num_cpus}", "corpus")
+        os.path.join(f"/tmp/pyfuseray_bench_corpus_{num_cpus}", "corpus"), num_cpus
     )
 
     result = {
@@ -361,9 +361,18 @@ def _bench_ivf(n_vecs: int = 200_000, dim: int = 64, n_queries: int = 8) -> dict
     return out
 
 
-def _bench_dedup(corpus_dir: str) -> dict:
+def _bench_dedup(corpus_dir: str, num_cpus: int, rounds: int = 2) -> dict:
     """Dedup-family throughput (docs/s) over the bench corpus: exact
-    fingerprint dedup, MinHash-LSH candidates, SimHash banding."""
+    fingerprint dedup, MinHash-LSH candidates, SimHash banding.
+
+    Measurement hygiene (the round-3 'regression' postmortem): the
+    corpus checkpoint is written as ~64 small files, and an unpinned
+    read shatters them into ~300-row blocks whose task dispatch
+    dominates the whole family (measured exact dedup 12k docs/s unpinned
+    vs 39k at ~2.4k-row blocks on the same data in the same window) —
+    so the read fan-out is pinned like build_from_pages' ingest. And the
+    host drifts ±40%, so every metric is a best-of over interleaved
+    rounds, same as the build rows."""
     import ray.data as rd
 
     from pyfuseray.extras.dedup import (
@@ -371,33 +380,42 @@ def _bench_dedup(corpus_dir: str) -> dict:
         minhash_candidate_pairs,
         simhash_candidates,
     )
-
-    def corpus():
-        return rd.read_parquet(corpus_dir, columns=["doc_id", "text"])
-
-    n = corpus().count()
-    out: dict = {"n_docs": n}
-    t0 = time.perf_counter()
-    out["exact_survivors"] = exact_dedup(corpus()).count()
-    out["exact_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
-    t0 = time.perf_counter()
-    out["minhash_candidates"] = minhash_candidate_pairs(corpus()).count()
-    out["minhash_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
-    t0 = time.perf_counter()
-    out["simhash_candidates"] = simhash_candidates(corpus(), n_docs=n).count()
-    out["simhash_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
-
     from pyfuseray.extras.packing import pack_sequences
     from pyfuseray.extras.spandedup import dedup_spans
     from pyfuseray.extras.textstats import token_counts
 
-    t0 = time.perf_counter()
-    cleaned = dedup_spans(corpus(), k=4, min_docs=2).materialize()
-    out["spandedup_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
+    n = rd.read_parquet(corpus_dir, columns=["doc_id"]).count()
+    # enough blocks to use the CPUs, big enough (~2k rows) that per-task
+    # vectorized work dwarfs scheduling
+    nb = max(8, min(2 * num_cpus, n // 2048))
+
+    def corpus():
+        return rd.read_parquet(
+            corpus_dir, columns=["doc_id", "text"], override_num_blocks=nb
+        )
+
+    out: dict = {"n_docs": n, "read_blocks": nb, "rounds": rounds}
+    cleaned = None
+    best: dict[str, float] = {}
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out["exact_survivors"] = exact_dedup(corpus()).count()
+        best["exact"] = min(best.get("exact", 1e9), time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out["minhash_candidates"] = minhash_candidate_pairs(corpus()).count()
+        best["minhash"] = min(best.get("minhash", 1e9), time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out["simhash_candidates"] = simhash_candidates(corpus(), n_docs=n).count()
+        best["simhash"] = min(best.get("simhash", 1e9), time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        cleaned = dedup_spans(corpus(), k=4, min_docs=2).materialize()
+        best["spandedup"] = min(best.get("spandedup", 1e9), time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        pack_sequences(token_counts(corpus()), seq_len=2048).count()
+        best["pack"] = min(best.get("pack", 1e9), time.perf_counter() - t0)
+    for k, t in best.items():
+        out[f"{k}_docs_per_sec"] = round(n / t, 1)
     out["spandedup_chunks_dropped"] = int(cleaned.sum("n_dropped") or 0)
-    t0 = time.perf_counter()
-    pack_sequences(token_counts(corpus()), seq_len=2048).count()
-    out["pack_docs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
     return out
 
 
