@@ -843,14 +843,11 @@ def _q_stratified_sample(sf_dir: str):
     argmin-k combiner (extras/grouptop.py ascending mode; shuffle moves
     at most k rows per (group, batch)). Oracle: row_number() over the
     same md5 rank."""
-    import hashlib
-
     from pyfuseray.extras.grouptop import topk_per_group
+    from pyfuseray.extras.md5vec import md5_hi60_ints
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        h = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
-             for i in ids]
+        h = md5_hi60_ints(batch.column("doc_id"))
         return batch.append_column("h", pa.array(h, pa.int64()))
 
     docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])

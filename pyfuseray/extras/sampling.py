@@ -22,25 +22,21 @@ moves at most k rows per batch, never the corpus).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
 from pyfuseray.extras.grouptop import topk_per_group
+from pyfuseray.extras.md5vec import md5_hi60_ints
 
 _U_DENOM = float(1 << 60)
 
 
-def _md5_u(ids: list) -> np.ndarray:
-    """id -> uniform (0,1): (60-bit md5 int + 0.5) / 2^60."""
-    h = np.fromiter(
-        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids),
-        dtype=np.int64,
-        count=len(ids),
-    )
-    return (h + 0.5) / _U_DENOM
+def _md5_u(ids) -> np.ndarray:
+    """id -> uniform (0,1): (60-bit md5 int + 0.5) / 2^60.
+
+    Vectorized single-block MD5 (extras/md5vec), no per-row hashlib."""
+    return (md5_hi60_ints(ids) + 0.5) / _U_DENOM
 
 
 def weighted_sample(
@@ -56,8 +52,7 @@ def weighted_sample(
     ``rank`` and ``key``."""
 
     def add_key(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        u = _md5_u(ids)
+        u = _md5_u(batch.column(id_col))
         w = np.maximum(
             batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
                 np.float64
@@ -66,7 +61,9 @@ def weighted_sample(
         )
         key = np.round(np.log(u) / w, key_dp)
         out = batch.append_column("key", pa.array(key, pa.float64()))
-        return out.append_column("_g", pa.array(np.zeros(len(ids), np.int64)))
+        return out.append_column(
+            "_g", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
     out = topk_per_group(

@@ -25,7 +25,6 @@ be diagnosed per shard and readers open only the shards they own.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -33,20 +32,18 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from pyfuseray.extras.md5vec import md5_hi60_ints
+
 _MASK60 = (1 << 60) - 1
 MANIFEST_NAME = "_shuffle_manifest.json"
 
 
-def _epoch_keys(ids: list, seed: int) -> np.ndarray:
-    """id -> 60-bit md5 int of ``f"{seed}:{id}"`` (fits int64, >= 0)."""
-    return np.fromiter(
-        (
-            int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
-            for i in ids
-        ),
-        dtype=np.int64,
-        count=len(ids),
-    )
+def _epoch_keys(ids, seed: int) -> np.ndarray:
+    """id -> 60-bit md5 int of ``f"{seed}:{id}"`` (fits int64, >= 0).
+
+    Vectorized single-block MD5 (extras/md5vec) — no per-row Python
+    hash objects in a stage that touches every corpus row."""
+    return md5_hi60_ints(ids, prefix=f"{seed}:")
 
 
 def shuffle_assign(
@@ -62,7 +59,7 @@ def shuffle_assign(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = _epoch_keys(batch.column(id_col).to_pylist(), seed)
+        keys = _epoch_keys(batch.column(id_col), seed)
         batch = batch.append_column("key", pa.array(keys, pa.int64()))
         return batch.append_column(
             "shard", pa.array(keys % np.int64(n_shards), pa.int64())
@@ -86,6 +83,20 @@ def write_training_shards(
     further. The sort is the global permutation's inherent all-to-all;
     everything before it streams.
     """
+    # a rerun into a reused out_dir must not leave stale shard=K/ dirs
+    # behind (a previous write with more shards or another seed would
+    # silently mix epochs on a full read): clear prior shuffle output
+    # before writing the new one
+    if os.path.isdir(out_dir):
+        import shutil
+
+        for d in os.listdir(out_dir):
+            if d.startswith("shard="):
+                shutil.rmtree(os.path.join(out_dir, d))
+        stale = os.path.join(out_dir, MANIFEST_NAME)
+        if os.path.exists(stale):
+            os.remove(stale)
+
     assigned = shuffle_assign(ds, n_shards, seed=seed, id_col=id_col)
     assigned.sort(["shard", "key"]).write_parquet(
         out_dir, partition_cols=["shard"]
@@ -98,16 +109,26 @@ def write_training_shards(
 
 
 def read_training_shards(
-    out_dir: str, shards: list[int] | None = None
+    out_dir: str, shards: list[int] | None = None, *, ordered: bool = False
 ) -> rd.Dataset:
     """Read a training-shard layout back; with ``shards`` given, open
     ONLY those ``shard=K/`` directories (a data-loader rank reads just
     the shards it owns — physical pruning, not a post-read filter).
 
+    Row ORDER: rows arrive grouped by shard but NOT in epoch-key order —
+    a shard spanning multiple write-task files has no cross-file order
+    guarantee, and ``read_parquet`` does not preserve row order under
+    the streaming executor. Pass ``ordered=True`` to restore the epoch
+    order with a per-shard ``sort`` over exactly the shards this reader
+    owns (bounded to the reader's own slice, never the corpus).
+
     The hive ``shard`` column comes back as a string partition value, so
     it is re-derived as int64 from ``key % n_shards`` (the same pure
     function that assigned it) using the manifest written at shuffle
-    time; a missing directory just means that shard drew zero rows.
+    time; a missing directory just means that shard drew zero rows — an
+    explicit in-range ``shards`` list whose directories are all empty
+    returns an EMPTY dataset with the expected schema (a loader rank
+    that owns only empty shards must not crash).
     """
     with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
         manifest = json.load(f)
@@ -136,9 +157,32 @@ def read_training_shards(
         if f.endswith(".parquet")
     ]
     if not files:
-        raise FileNotFoundError(
-            f"no shard files under {out_dir} for shards={shards}"
-        )
+        if shards is not None:
+            # all requested shards validly drew zero rows: any written
+            # shard file carries the schema (key + payload columns)
+            any_files = [
+                os.path.join(out_dir, d, f)
+                for d in sorted(os.listdir(out_dir))
+                if d.startswith("shard=")
+                for f in sorted(os.listdir(os.path.join(out_dir, d)))
+                if f.endswith(".parquet")
+            ]
+            if any_files:
+                import pyarrow.parquet as pq
+
+                # hive files do not store the partition column; append
+                # the restored int64 shard to the empty table directly
+                empty = pq.read_schema(any_files[0]).empty_table()
+                if "shard" in empty.column_names:
+                    empty = empty.remove_column(
+                        empty.column_names.index("shard")
+                    )
+                empty = empty.append_column(
+                    "shard", pa.array([], pa.int64())
+                )
+                return rd.from_arrow(empty)
+            raise FileNotFoundError(f"no shard files under {out_dir}")
+        raise FileNotFoundError(f"no shard files under {out_dir}")
     ds = rd.read_parquet(files)
 
     def restore_shard(batch: pa.Table) -> pa.Table:
@@ -152,4 +196,7 @@ def read_training_shards(
             "shard", pa.array(keys % np.int64(n_shards), pa.int64())
         )
 
-    return ds.map_batches(restore_shard, batch_format="pyarrow")
+    out = ds.map_batches(restore_shard, batch_format="pyarrow")
+    if ordered:
+        out = out.sort(["shard", "key"])
+    return out

@@ -86,3 +86,56 @@ def test_read_training_shards_prunes_and_restores_shard(tmp_path):
 
     with pytest.raises(ValueError, match="outside"):
         read_training_shards(out, shards=[4])
+
+
+def test_rewrite_clears_stale_shards(tmp_path):
+    """A rerun with fewer shards / another seed must not leave stale
+    shard=K dirs that a full read would silently mix in."""
+    tbl = _docs(120)
+    out = str(tmp_path / "shards")
+    write_training_shards(rd.from_arrow(tbl), out, 8, seed=1)
+    assert sum(d.startswith("shard=") for d in os.listdir(out)) == 8
+    assigned = write_training_shards(rd.from_arrow(tbl), out, 3, seed=2)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2"]
+    back = read_training_shards(out).to_pandas()
+    assert len(back) == 120
+    want = assigned.to_pandas()
+    merged = back.merge(want, on="doc_id", suffixes=("", "_w"))
+    assert (merged["shard"] == merged["shard_w"]).all()
+
+
+def test_read_empty_valid_shard_returns_empty(tmp_path):
+    """A loader rank whose in-range shards all drew zero rows gets an
+    EMPTY dataset with the expected schema, not FileNotFoundError."""
+    import shutil
+
+    tbl = _docs(60)
+    out = str(tmp_path / "shards")
+    write_training_shards(rd.from_arrow(tbl), out, 4, seed=1)
+    # simulate a shard that drew zero rows
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    empty = read_training_shards(out, shards=[2])
+    assert empty.count() == 0
+    assert {"doc_id", "val", "key", "shard"} <= set(empty.schema().names)
+
+
+def test_read_ordered_restores_epoch_order_across_files(tmp_path):
+    """ordered=True guarantees ascending key within each shard even
+    when a shard spans multiple write-task files (cross-file order is
+    otherwise undefined)."""
+    tbl = _docs(600)
+    out = str(tmp_path / "shards")
+    # many input blocks -> multiple write tasks -> multi-file shards
+    write_training_shards(rd.from_arrow(tbl).repartition(12), out, 2, seed=3)
+    multi = [
+        d
+        for d in os.listdir(out)
+        if d.startswith("shard=")
+        and len(os.listdir(os.path.join(out, d))) > 1
+    ]
+    assert multi, "expected at least one multi-file shard"
+    got = read_training_shards(out, ordered=True).to_pandas()
+    for s in got["shard"].unique():
+        keys = got[got["shard"] == s]["key"].to_numpy()
+        assert (np.diff(keys) > 0).all()
