@@ -567,6 +567,73 @@ def _q_bm25_topk_simple(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
+# broader bulk query set: multiword, single-term, and an unknown term
+# (drops out identically on both sides); still no repeated words per
+# query (BM25 ignores query-term multiplicity, keeping the SQL trivial)
+BULK_BM25_QUERIES = SIMPLE_BM25_QUERIES + [
+    "data",
+    "window value",
+    "stream merge batch data",
+    "zqxunknownterm",
+]
+_BULK_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, q in enumerate(BULK_BM25_QUERIES)
+    for t in dict.fromkeys(_re.findall(r"[a-z0-9]+", q.lower()))
+)
+
+
+def _q_bulk_search_bm25_simple(sf_dir: str):
+    """The distributed scatter-gather bulk path hash-checked end-to-end
+    (round-3 verdict ask): one streaming pass over ALL segment rows with
+    the query set broadcast, per-(query, doc) partials combined in a
+    groupby shuffle, per-query top-k in map_groups
+    (pyfuseray/distributed_query.py). Runs in docstats_mode='ranged' —
+    the 10^12-doc shape where per-doc stats JOIN the score partials
+    through a coarse doc-bucket shuffle instead of a dense broadcast —
+    so the ranged route itself is DuckDB-hash-pinned, not just
+    rank-identity-pytested. Same (round(score,6) DESC, doc_id) re-rank
+    shim as bm25_topk_simple."""
+    from pyfuseray.distributed_query import bulk_search
+
+    ix = _ensure_simple_index(sf_dir)
+    raw = bulk_search(
+        ix, BULK_BM25_QUERIES, top_k=50, scoring="bm25", docstats_mode="ranged"
+    )
+    raw["score"] = raw["score"].round(6)
+    raw = raw.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    raw["rank"] = raw.groupby("query_id").cumcount()
+    out = raw[raw["rank"] < 10].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _q_sql_like_select_simple(sf_dir: str):
+    """The mini-SQL front end hash-checked end-to-end (round-3 verdict
+    ask): parse -> LIKE BM25 ranking -> isin-pushdown corpus
+    materialize -> field projection (pyfuseray/sqlfront.py), over the
+    simple-analyzer index so DuckDB mirrors the whole path. Overfetches
+    then re-ranks on (round(score,6) DESC, doc_id) before the LIMIT —
+    the shared BM25 boundary shim."""
+    from pyfuseray.sqlfront import execute_sql
+
+    ix = _ensure_simple_index(sf_dir)
+    tbl = execute_sql(
+        "SELECT doc_id, lang FROM documents LIKE fast scan merge",
+        ix,
+        os.path.join(sf_dir, "documents.parquet"),
+        top_k=30,
+        scoring="bm25",
+    )
+    df = tbl.to_pandas()
+    df["score"] = df["score"].round(6)
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(5)
+    df = df.reset_index(drop=True)
+    df["rank"] = df.index
+    return df[["rank", "doc_id", "lang", "score"]]
+
+
 def _ensure_deleted_index(sf_dir: str, compacted: bool) -> str:
     """Simple-analyzer documents index with doc_id % 7 == 0 tombstoned
     (and optionally compacted) — the delete-lifecycle contract fixture.
@@ -1350,6 +1417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "knn_ivf_full": _q_knn_ivf_full,
         "bm25_topk_simple": _q_bm25_topk_simple,
+        "bulk_search_bm25_simple": _q_bulk_search_bm25_simple,
+        "sql_like_select_simple": _q_sql_like_select_simple,
         "bm25_topk_tombstoned": _q_bm25_topk_tombstoned,
         "bm25_topk_compacted": _q_bm25_topk_compacted,
         "incremental_df_simple": _q_incremental_df_simple,
@@ -1982,6 +2051,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM scores
             ) WHERE rank < 10
             ORDER BY query_id, rank
+        """,
+        # the scatter-gather bulk path (ranged docstats route) against
+        # the same from-scratch BM25, over the broader bulk query set
+        "bulk_search_bm25_simple": f"""
+            WITH {_BM25_SCORES_CTE.format(qvalues=_BULK_Q_VALUES)}
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT query_id, doc_id, round(score, 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM scores
+            ) WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        # mini-SQL front end: LIKE ranking + projection == BM25 top-5
+        # joined back to the documents row for the projected field
+        "sql_like_select_simple": f"""
+            WITH {_BM25_SCORES_CTE.format(
+                qvalues="(0, 'fast'), (0, 'scan'), (0, 'merge')"
+            )},
+            ranked AS (
+                SELECT doc_id, round(score, 6) AS score,
+                       row_number() OVER (
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM scores
+            )
+            SELECT r.rank, r.doc_id, d.lang, r.score
+            FROM ranked r JOIN documents d USING (doc_id)
+            WHERE r.rank < 5 ORDER BY r.rank
         """,
         # hybrid sparse+dense retrieval: RRF over the BM25 ranks above
         # and cosine ranks vs anchor embeddings (query_id == anchor

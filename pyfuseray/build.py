@@ -104,6 +104,14 @@ def _checksum_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def _sort_block_by_term(batch: pa.Table) -> pa.Table:
+    """Term-sort ONE merge-output block (no shuffle) so every written
+    segment file carries tight per-row-group term statistics."""
+    if batch.num_rows == 0:
+        return batch
+    return batch.sort_by("term")
+
+
 def _segment_checksums(seg: rd.Dataset) -> dict[int, tuple[int, int, int]]:
     """One pass over segment rows -> {bucket: (checksum, rows, df_sum)}."""
     out: dict[int, list[int]] = {}
@@ -140,6 +148,7 @@ def build_index(
     overwrite: bool = False,
     analyzer: str = "reference",
     corpus_sorted: bool = False,
+    postings_materialize_threshold: int = POSTINGS_MATERIALIZE_DOC_LIMIT,
 ) -> Manifest:
     """Build (or resume building) an index from a (doc_id, text) Dataset.
 
@@ -249,7 +258,7 @@ def build_index(
             )
         if os.path.exists(postings_dir):
             shutil.rmtree(postings_dir)  # stage is atomic: redo partial output
-        if n_docs <= POSTINGS_MATERIALIZE_DOC_LIMIT:
+        if n_docs <= postings_materialize_threshold:
             postings_mem = postings.materialize()
             tokenize_wall = time.perf_counter() - t0
             tmp_post = postings_dir + ".writing"
@@ -338,13 +347,18 @@ def build_index(
         docstats_thread.start()
 
     # -- stage C: segment build (resumable per bucket) ----------------------
-    # Layout: segments/bucket=k/*.parquet (hive). Fresh builds do ONE
-    # groupby shuffle over all buckets and a partitioned write (the wide
-    # step, amortizing per-pipeline overhead); resumed builds rebuild
-    # only the missing buckets, each from its own postings partition.
+    # Layout: segments/bucket=k/*.parquet (hive). Fresh builds up to the
+    # materialize gate do ONE groupby shuffle over all buckets and a
+    # partitioned write (the wide step, amortizing per-pipeline
+    # overhead); above the gate — where pinning ~2 B/posting of merged
+    # segments in the object store while ALSO writing them would double
+    # residency — and on resumes, buckets build independently from their
+    # own postings partitions and stream straight to parquet, with the
+    # checksum pass running off the files (the same code both ways, so
+    # the >gate route is exercised by every resume test).
     todo = [k for k in range(num_buckets) if not m.bucket_done(k)]
     seg_mem: rd.Dataset | None = None
-    if len(todo) == num_buckets:
+    if len(todo) == num_buckets and n_docs <= postings_materialize_threshold:
         t0 = time.perf_counter()
         if os.path.exists(segments_dir):
             shutil.rmtree(segments_dir)  # incomplete previous attempt
@@ -352,11 +366,19 @@ def build_index(
             postings_all, n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
             block_size=block_size,
         )
-        # materialize the sorted segments in the object store: the
-        # parquet write (pure disk) runs on a side thread while the
-        # checksum pass — and stage D below — consume the SAME blocks
-        # from memory instead of re-reading the files just written
-        seg_mem = seg.sort("term").materialize()
+        # materialize the segments in the object store: the parquet
+        # write (pure disk) runs on a side thread while the checksum
+        # pass — and stage D below — consume the SAME blocks from
+        # memory instead of re-reading the files just written. Term
+        # order is PER BLOCK (one vectorized sort_by per merge-output
+        # block, no shuffle): the searcher's pruning is parquet
+        # row-group statistics within each file, and a written file
+        # never spans blocks, so a global term sort — a second
+        # all-to-all over every posting right after the merge shuffle —
+        # buys nothing it doesn't.
+        seg_mem = seg.map_batches(
+            _sort_block_by_term, batch_format="pyarrow", batch_size=None
+        ).materialize()
         write_err: list[BaseException] = []
 
         def _write_segments():

@@ -175,3 +175,33 @@ def test_resume_docstats_on_sorted_route(tmp_path):
         wa = s_full.search_bm25(q, 10, algorithm="wand")
         wb = s_resumed.search_bm25(q, 10, algorithm="wand")
         assert wa == wb, q  # bm25 uses integer dl: exact across routes
+
+
+def test_segment_materialize_gate_routes_identical(tmp_path):
+    """Stage C is size-gated like stage A: above
+    ``postings_materialize_threshold`` a fresh build must NOT pin the
+    merged segments in the object store — it builds per bucket and
+    streams each straight to parquet (the resume code path), with
+    checksums computed off the files. Both routes must produce the same
+    index content: identical bucket checksums and posting counts,
+    rank-identical searches (scores within the 1e-9 conformance
+    tolerance; bm25 exact — integer dl)."""
+    a_dir = str(tmp_path / "mem_route")
+    b_dir = str(tmp_path / "stream_route")
+    build_index(_corpus(), a_dir, num_buckets=4, num_salts=2, overwrite=True)
+    build_index(_corpus(), b_dir, num_buckets=4, num_salts=2, overwrite=True,
+                postings_materialize_threshold=0)
+    ma, mb = load_manifest(a_dir), load_manifest(b_dir)
+    assert mb.stage_done("done")
+    assert _segment_content(a_dir) == _segment_content(b_dir)
+    assert {k: (v["checksum"], v["n_postings"]) for k, v in ma.buckets.items()} == {
+        k: (v["checksum"], v["n_postings"]) for k, v in mb.buckets.items()
+    }
+    sa, sb = IndexSearcher(a_dir), IndexSearcher(b_dir)
+    for q in PANGRAM_QUERIES:
+        ta, tb = sa.search_tfidf(q, 10), sb.search_tfidf(q, 10)
+        assert [d for d, _ in ta] == [d for d, _ in tb], q
+        assert all(abs(x - y) < 1e-9 for (_, x), (_, y) in zip(ta, tb)), q
+        assert sa.search_bm25(q, 10, algorithm="wand") == sb.search_bm25(
+            q, 10, algorithm="wand"
+        ), q
