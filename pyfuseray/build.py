@@ -76,30 +76,71 @@ def _pin_fsspec_http_stub() -> None:
         sys.modules[name] = mod
 
 
+def _var_slices(arr: pa.Array) -> tuple[memoryview, "np.ndarray"]:
+    """(data memoryview, value offsets) of a string/binary array —
+    zero-copy row access without materializing Python objects."""
+    import numpy as np
+
+    bufs = arr.buffers()
+    if bufs[1] is None:  # 0-chunk empty column
+        return memoryview(b""), np.zeros(len(arr) + 1, np.int64)
+    off = np.frombuffer(bufs[1], np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return data, off.astype(np.int64)
+
+
 def _checksum_partial(batch: pa.Table) -> pa.Table:
     """Per-batch, per-bucket partial of the order-insensitive checksum,
-    row count, and posting count."""
-    terms = batch.column("term").to_pylist()
-    dfs = batch.column("df").to_pylist()
-    blobs = batch.column("blob").to_pylist()
-    buckets = (
-        [int(x) for x in batch.column("bucket").to_pylist()]
-        if "bucket" in batch.column_names
-        else [0] * batch.num_rows
-    )
-    accs: dict[int, list[int]] = {}
-    for t, d, b, k in zip(terms, dfs, blobs, buckets):
-        cur = accs.setdefault(k, [0, 0, 0])
-        cur[0] = row_checksum_update(cur[0], t.encode(), str(d).encode(), b)
-        cur[1] += 1
-        cur[2] += int(d)
-    ks = sorted(accs)
+    row count, and posting count.
+
+    Identical accumulator as ``row_checksum_update`` (md5 over
+    term\\0df\\0blob\\0, digests summed mod 2^128) but fed by Arrow
+    buffer math: term/blob bytes are memoryview slices of the column
+    data buffers and the df decimal rendering rides one vectorized cast,
+    so no per-row Python strings/bytes are ever constructed — only the
+    irreducible md5 over the blob bytes remains (the old ``to_pylist``
+    version serialized every blob into Python objects in the build's
+    critical section)."""
+    import hashlib
+
+    import numpy as np
+
+    n = batch.num_rows
+    batch = batch.combine_chunks()
+    tdata, toff = _var_slices(batch.column("term").combine_chunks())
+    bdata, boff = _var_slices(batch.column("blob").combine_chunks())
+    ddata, doff = _var_slices(batch.column("df").cast(pa.string()).combine_chunks())
+    dfs = batch.column("df").to_numpy(zero_copy_only=False)
+    if "bucket" in batch.column_names:
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+    else:
+        buckets = np.zeros(n, np.int64)
+    sums: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    md5 = hashlib.md5
+    sep = b"\x00"
+    for i in range(n):
+        h = md5(tdata[toff[i] : toff[i + 1]])
+        h.update(sep)
+        h.update(ddata[doff[i] : doff[i + 1]])
+        h.update(sep)
+        h.update(bdata[boff[i] : boff[i + 1]])
+        h.update(sep)
+        k = int(buckets[i])
+        sums[k] = sums.get(k, 0) + int.from_bytes(h.digest(), "big")
+        counts[k] = counts.get(k, 0) + 1
+    ks = sorted(sums)
+    df_sums = {k: 0 for k in ks}
+    for k in ks:
+        df_sums[k] = int(dfs[buckets == k].sum())
     return pa.table(
         {
             "bucket_id": pa.array(ks, pa.int32()),
-            "acc": pa.array([str(accs[k][0]) for k in ks]),
-            "rows": pa.array([accs[k][1] for k in ks]),
-            "df_sum": pa.array([accs[k][2] for k in ks]),
+            "acc": pa.array([str(sums[k] % (1 << 128)) for k in ks]),
+            "rows": pa.array([counts[k] for k in ks]),
+            "df_sum": pa.array([df_sums[k] for k in ks]),
         }
     )
 

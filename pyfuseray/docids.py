@@ -90,7 +90,14 @@ def dedup_keep_first(ds: rd.Dataset, key: str = "url", order_col: str = "warc_ts
         lambda t: t.filter(pc.greater(t.column("_n"), 1)).select([key]),
         batch_format="pyarrow",
     )
-    dup_tables = ray.get(dups_only.to_arrow_refs())
+    dup_tables = [
+        # blocks can disagree on schema (empty sentinel blocks; string
+        # vs large_string across read tasks): drop empties, normalize
+        # the key type before the concat
+        t.set_column(0, key, t.column(key).cast(pa.string()))
+        for t in ray.get(dups_only.to_arrow_refs())
+        if t.num_rows and key in t.column_names
+    ]
     dup_keys = (
         np.sort(
             _utf8_fixed_width(pa.concat_tables(dup_tables).column(key))

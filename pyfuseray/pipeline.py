@@ -35,75 +35,33 @@ def documents_to_corpus(documents: rd.Dataset) -> rd.Dataset:
     return documents.select_columns(["doc_id", "text"])
 
 
-def csv_to_corpus(
-    path: str,
+def _flat_source_to_corpus(
+    ds: rd.Dataset,
     *,
     text_columns: list[str],
-    id_column: str | None = None,
-    dedup_column: str | None = None,
+    id_column: str | None,
+    dedup_column: str | None,
 ) -> rd.Dataset:
-    """The reference's CSV ingest (reference ``app/DataLoader.py:34-49``):
-    read CSV -> optional exact dedup keep-first by key -> concatenate the
-    text fields with ' ' -> (doc_id, text).
+    """Shared post-read ingest for flat sources (CSV/JSONL): concat the
+    text fields -> optional exact keep-first dedup -> (doc_id, text).
+
+    Dedup rides ``docids.dedup_keep_first`` — the skew-aware two-pass
+    plan (native count -> broadcast dup set -> per-group resolution on
+    only the dup rows) — never a ``groupby(raw_key).map_groups`` whose
+    group count scales with corpus cardinality. With no natural order
+    column, the survivor per key is the deterministic min-md5(text) row
+    (``order_col=key`` makes the order tie inside every group), so the
+    result is a pure function of the data under any read parallelism.
 
     Without ``id_column``, doc_id = rank of the dedup/first text column
     in sorted order (positional ids don't survive parallel reads)."""
     from pyfuseray.extract import concat_text_columns
 
-    ds = rd.read_csv(path)
     ds = ds.map_batches(
         lambda t: concat_text_columns(t, text_columns), batch_format="pyarrow"
     )
     if dedup_column is not None:
-        def keep_min(g):
-            return g.sort_values(dedup_column).head(1)
-
-        ds = ds.groupby(dedup_column).map_groups(keep_min, batch_format="pandas")
-        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    if id_column is not None:
-        import pyarrow.compute as pc
-
-        def use_id(batch):
-            ids = batch.column(id_column).cast("int64")
-            return batch.append_column("doc_id", ids) if "doc_id" not in batch.column_names else batch
-
-        return ds.map_batches(use_id, batch_format="pyarrow").select_columns(["doc_id", "text"])
-    # rank-by-sort ids over the key column (or the text itself)
-    key = dedup_column or text_columns[0]
-
-    def rename_key(batch):
-        return batch.append_column("url", batch.column(key).cast("string"))
-
-    keyed = ds.map_batches(rename_key, batch_format="pyarrow")
-    return assign_doc_ids(keyed).select_columns(["doc_id", "text"])
-
-
-def jsonl_to_corpus(
-    path: str,
-    *,
-    text_columns: list[str],
-    id_column: str | None = None,
-    dedup_column: str | None = None,
-) -> rd.Dataset:
-    """JSON-lines ingest with the same semantics as ``csv_to_corpus``
-    (the reference's loadData shape over a different wire format):
-    ``ray.data.read_json`` streams the shards, then the identical
-    concat -> optional keep-first dedup -> doc_id pipeline runs. Kept
-    separate from the CSV path only at the read; everything downstream
-    is shared, so the two routes are pinned identical by
-    tests/test_sources.py."""
-    from pyfuseray.extract import concat_text_columns
-
-    ds = rd.read_json(path)
-    ds = ds.map_batches(
-        lambda t: concat_text_columns(t, text_columns), batch_format="pyarrow"
-    )
-    if dedup_column is not None:
-        def keep_min(g):
-            return g.sort_values(dedup_column).head(1)
-
-        ds = ds.groupby(dedup_column).map_groups(keep_min, batch_format="pandas")
-        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        ds = dedup_keep_first(ds, key=dedup_column, order_col=dedup_column)
     if id_column is not None:
         def use_id(batch):
             ids = batch.column(id_column).cast("int64")
@@ -115,6 +73,7 @@ def jsonl_to_corpus(
         return ds.map_batches(use_id, batch_format="pyarrow").select_columns(
             ["doc_id", "text"]
         )
+    # rank-by-sort ids over the key column (or the text itself)
     key = dedup_column or text_columns[0]
 
     def rename_key(batch):
@@ -122,6 +81,45 @@ def jsonl_to_corpus(
 
     keyed = ds.map_batches(rename_key, batch_format="pyarrow")
     return assign_doc_ids(keyed).select_columns(["doc_id", "text"])
+
+
+def csv_to_corpus(
+    path: str,
+    *,
+    text_columns: list[str],
+    id_column: str | None = None,
+    dedup_column: str | None = None,
+) -> rd.Dataset:
+    """The reference's CSV ingest (reference ``app/DataLoader.py:34-49``):
+    read CSV -> optional exact dedup keep-first by key -> concatenate the
+    text fields with ' ' -> (doc_id, text). See
+    ``_flat_source_to_corpus`` for the shared pipeline semantics."""
+    return _flat_source_to_corpus(
+        rd.read_csv(path),
+        text_columns=text_columns,
+        id_column=id_column,
+        dedup_column=dedup_column,
+    )
+
+
+def jsonl_to_corpus(
+    path: str,
+    *,
+    text_columns: list[str],
+    id_column: str | None = None,
+    dedup_column: str | None = None,
+) -> rd.Dataset:
+    """JSON-lines ingest with the same semantics as ``csv_to_corpus``
+    (the reference's loadData shape over a different wire format):
+    ``ray.data.read_json`` streams the shards, then the identical shared
+    concat -> dedup -> doc_id pipeline runs (routes pinned identical by
+    tests/test_sources.py)."""
+    return _flat_source_to_corpus(
+        rd.read_json(path),
+        text_columns=text_columns,
+        id_column=id_column,
+        dedup_column=dedup_column,
+    )
 
 
 # above this doc count build_from_pages stops pinning the materialized
