@@ -216,6 +216,35 @@ def run_bench() -> dict:
             runs_t.append(time.perf_counter() - t0)
         lat_dense_t.append(statistics.median(runs_t))
 
+    # -- actor-resident BM25 tier (doc-range shards, pre-decoded) ----------
+    from pyfuseray.resident import ResidentTextSearcher
+
+    t0 = time.perf_counter()
+    res = ResidentTextSearcher(ix_pages, n_shards=8)
+    resident_load_sec = round(time.perf_counter() - t0, 3)
+    lat_res = []
+    try:
+        for q in QUERIES:  # warm the RPC path AND pin rank identity
+            assert res.search_bm25(q, 10) == searcher.search_bm25(
+                q, 10, algorithm="taat"
+            ), q
+        for q in QUERIES:
+            runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                res.search_bm25(q, 10)
+                runs.append(time.perf_counter() - t0)
+            lat_res.append(statistics.median(runs))
+        # batch form: one fan-out for the whole query set
+        batch_runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res.search_bm25_many(QUERIES, 10)
+            batch_runs.append((time.perf_counter() - t0) / len(QUERIES))
+        resident_batch_ms = round(1000 * statistics.median(batch_runs), 3)
+    finally:
+        res.close()
+
     # -- IVF ANN recall/latency vs brute force ------------------------------
     ivf_stats = _bench_ivf()
 
@@ -239,6 +268,9 @@ def run_bench() -> dict:
         "build_documents_sec": timings["build_documents"],
         "docs_per_sec_documents": round(n_docs_sf / timings["build_documents"], 1),
         "bm25_p50_ms": round(1000 * statistics.median(lat_auto), 3),
+        "bm25_resident_p50_ms": round(1000 * statistics.median(lat_res), 3),
+        "bm25_resident_batch_ms_per_query": resident_batch_ms,
+        "resident_text_load_sec": resident_load_sec,
         "bm25_wand_p50_ms": round(1000 * statistics.median(lat_wand), 3),
         "bm25_taat_p50_ms": round(1000 * statistics.median(lat_dense_t), 3),
         "bm25_sel_wand_p50_ms": round(1000 * statistics.median(lat_sel_w), 3),
@@ -517,10 +549,32 @@ def run_latency_table() -> dict:
                 s.search_bm25(q, 8, algorithm="auto")
                 runs.append(time.perf_counter() - t0)
             lats.append(statistics.median(runs))
+        # the resident tier at the same N (rank-identity asserted)
+        from pyfuseray.resident import ResidentTextSearcher
+
+        res = ResidentTextSearcher(ix, n_shards=8)
+        lat_res = []
+        try:
+            for q in QUERIES:
+                assert res.search_bm25(q, 8) == s.search_bm25(
+                    q, 8, algorithm="taat"
+                ), q
+            for q in QUERIES:
+                runs = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    res.search_bm25(q, 8)
+                    runs.append(time.perf_counter() - t0)
+                lat_res.append(statistics.median(runs))
+        finally:
+            res.close()
         table[str(n)] = {
             "build_sec": round(build_s, 2),
             "docs_per_sec": round(n / build_s, 1),
             "bm25_p50_ms": round(1000 * statistics.median(lats), 3),
+            "bm25_resident_p50_ms": round(
+                1000 * statistics.median(lat_res), 3
+            ),
         }
     ray.shutdown()
     return {"metric": "query p50 latency vs N (reference experiment parity)",
