@@ -283,23 +283,49 @@ def ingest_pages(
     ``read_parquet(path, columns=["url", "warc_ts"])`` here
     (``pipeline.build_from_pages`` does when given a path).
     """
-    import ray
-
     if n_rows is None:
         n_rows = pages.count()
     if n_rows > broadcast_threshold:
         deduped, n_after = dedup_pages_keep_first(pages, with_count=True)
         return assign_doc_ids(deduped, n_after), n_after
 
-    # narrow driver collect as ARROW (no per-row Python objects), then
-    # fixed-width byte arrays via buffer math: sorting/searchsorted are
-    # vectorized C byte comparisons and the broadcast array is zero-copy
-    # out of the object store. Widths are UTF-8 BYTES (non-ASCII safe).
-    if narrow is None:
-        narrow = pages.select_columns(["url", "warc_ts"])
-    tables = ray.get(narrow.to_arrow_refs())
+    plan = plan_ingest_broadcast(narrow if narrow is not None else pages)
+    return apply_ingest_plan(pages, plan), plan.n_docs
+
+
+class IngestPlan:
+    """Broadcast ingest plan: object-store refs to the sorted unique-url
+    array (the doc_id map), the duplicate winners, and the ambiguous-url
+    set. A pure function of the (url, warc_ts) columns, so any subset of
+    the input (a file group, a resumed run) can replay the SAME global
+    dedup + doc_id assignment independently — the basis of
+    ``pipeline.build_from_pages``'s per-shard resumable ingest."""
+
+    def __init__(self, urls_ref, win_ref, amb_ref, n_docs: int, n_amb: int):
+        self.urls_ref = urls_ref
+        self.win_ref = win_ref
+        self.amb_ref = amb_ref
+        self.n_docs = n_docs
+        self.n_amb = n_amb
+
+
+def plan_ingest_broadcast(narrow: rd.Dataset) -> IngestPlan:
+    """One narrow (url, warc_ts) pass -> IngestPlan.
+
+    The driver collect is ARROW (no per-row Python objects), then
+    fixed-width byte arrays via buffer math: sorting/searchsorted are
+    vectorized C byte comparisons and the broadcast array is zero-copy
+    out of the object store. Widths are UTF-8 BYTES (non-ASCII safe).
+    """
+    import ray
+
+    tables = ray.get(narrow.select_columns(["url", "warc_ts"]).to_arrow_refs())
+    tables = [t for t in tables if t.num_rows]
     meta_tbl = (
-        pa.concat_tables(tables)
+        pa.concat_tables(
+            [t.select(["url", "warc_ts"]) for t in tables],
+            promote_options="permissive",
+        )
         if tables
         else pa.table({"url": pa.array([], pa.string()),
                        "warc_ts": pa.array([], pa.int64())})
@@ -320,9 +346,23 @@ def ingest_pages(
     win_urls = urls_sorted[dup_starts]  # sorted (subset of sorted urls)
     win_ts = ts_sorted[dup_starts]
     amb_urls = win_urls[ts_sorted[dup_starts + 1] == win_ts] if dup_starts.size else win_urls[:0]
-    urls_ref = ray.put(unique_urls)
-    win_ref = ray.put((win_urls, win_ts))
-    amb_ref = ray.put(amb_urls)
+    return IngestPlan(
+        ray.put(unique_urls),
+        ray.put((win_urls, win_ts)),
+        ray.put(amb_urls),
+        n,
+        int(amb_urls.size),
+    )
+
+
+def apply_ingest_plan(pages: rd.Dataset, plan: IngestPlan) -> rd.Dataset:
+    """Replay a broadcast IngestPlan over (any subset of) the input: the
+    heavy columns make exactly ONE pass — filter losers -> doc_id =
+    searchsorted(broadcast sorted urls, url). No full-width sort, no zip.
+    """
+    import ray
+
+    urls_ref, win_ref, amb_ref = plan.urls_ref, plan.win_ref, plan.amb_ref
 
     def _keys(batch: pa.Table, width: int) -> np.ndarray:
         return _utf8_fixed_width(batch.column("url"), width=width)
@@ -348,7 +388,7 @@ def ingest_pages(
         return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
 
     out = pages.map_batches(assign, batch_format="pyarrow")
-    if amb_urls.size:
+    if plan.n_amb:
         def only_ambiguous(batch: pa.Table) -> pa.Table:
             amb = ray.get(amb_ref)
             keys = _keys(batch, amb.dtype.itemsize if amb.size else 1)
@@ -366,7 +406,7 @@ def ingest_pages(
             return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
 
         out = out.union(resolved.map_batches(assign_ids_only, batch_format="pyarrow"))
-    return out, n
+    return out
 
 
 def _dedup_via_groups(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:

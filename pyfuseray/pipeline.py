@@ -8,6 +8,8 @@ Data stages, plus search entry points.
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 import ray.data as rd
 
 from pyfuseray.build import build_index
@@ -35,6 +37,108 @@ def documents_to_corpus(documents: rd.Dataset) -> rd.Dataset:
     return documents.select_columns(["doc_id", "text"])
 
 
+def _flat_files(path: str | list[str]) -> list[str]:
+    """Expand a file / directory / list into a sorted file list (sorted
+    order makes the file rank — and hence keep-first — deterministic)."""
+    import os
+
+    if isinstance(path, (list, tuple)):
+        out: list[str] = []
+        for p in path:
+            out.extend(_flat_files(p))
+        return sorted(out)
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(".")
+        )
+    return [path]
+
+
+# _pos = file_rank << 40 | row_offset: a total file order over every row
+# of a flat source. 2^40 rows/file and 2^23 files fit int64.
+_POS_FILE_SHIFT = 40
+
+
+def _read_csv_with_pos(path: str | list[str]) -> rd.Dataset:
+    """CSV reader that stamps each row with its true file position
+    (``_pos``) so keep-first dedup means FILE-ORDER first — the
+    reference's ``drop_duplicates(keep='first')`` semantics (reference
+    ``app/DataLoader.py:40``) — deterministically under any read
+    parallelism. One task per file (Ray parallelizes flat-file reads
+    per file anyway); within a task ``pyarrow.csv.open_csv`` STREAMS
+    record batches, so memory is bounded by the arrow block size, not
+    the file."""
+    files = _flat_files(path)
+    items = [{"path": p, "rank": i} for i, p in enumerate(files)]
+
+    def parse(batch: pa.Table):
+        from pyarrow import csv as pacsv
+
+        for p, rank in zip(
+            batch.column("path").to_pylist(), batch.column("rank").to_pylist()
+        ):
+            off = 0
+            with pacsv.open_csv(p) as reader:
+                for rb in reader:
+                    t = pa.Table.from_batches([rb])
+                    pos = pa.array(
+                        (rank << _POS_FILE_SHIFT)
+                        + np.arange(off, off + t.num_rows, dtype=np.int64)
+                    )
+                    off += t.num_rows
+                    yield t.append_column("_pos", pos)
+
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+def _read_jsonl_with_pos(path: str | list[str], *, chunk_rows: int = 65536) -> rd.Dataset:
+    """JSON-lines reader with the same ``_pos`` contract as
+    ``_read_csv_with_pos``: per-file tasks, each file parsed in bounded
+    line chunks (``pyarrow.json.read_json`` over an in-memory slice), so
+    a multi-GiB shard never materializes as one table."""
+    files = _flat_files(path)
+    items = [{"path": p, "rank": i} for i, p in enumerate(files)]
+
+    def parse(batch: pa.Table):
+        import io
+
+        from pyarrow import json as pajson
+
+        for p, rank in zip(
+            batch.column("path").to_pylist(), batch.column("rank").to_pylist()
+        ):
+            off = 0
+            with open(p, "rb") as fh:
+                while True:
+                    lines = list(_take_lines(fh, chunk_rows))
+                    if not lines:
+                        break
+                    t = pajson.read_json(io.BytesIO(b"".join(lines)))
+                    pos = pa.array(
+                        (rank << _POS_FILE_SHIFT)
+                        + np.arange(off, off + t.num_rows, dtype=np.int64)
+                    )
+                    off += t.num_rows
+                    yield t.append_column("_pos", pos)
+
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+def _take_lines(fh, n: int):
+    for _ in range(n):
+        line = fh.readline()
+        if not line:
+            return
+        if line.strip():
+            yield line
+
+
 def _flat_source_to_corpus(
     ds: rd.Dataset,
     *,
@@ -48,10 +152,11 @@ def _flat_source_to_corpus(
     Dedup rides ``docids.dedup_keep_first`` — the skew-aware two-pass
     plan (native count -> broadcast dup set -> per-group resolution on
     only the dup rows) — never a ``groupby(raw_key).map_groups`` whose
-    group count scales with corpus cardinality. With no natural order
-    column, the survivor per key is the deterministic min-md5(text) row
-    (``order_col=key`` makes the order tie inside every group), so the
-    result is a pure function of the data under any read parallelism.
+    group count scales with corpus cardinality. The order column is the
+    reader-stamped ``_pos`` (true file position), so the survivor per
+    key is the FILE-ORDER-first row — the reference's
+    ``drop_duplicates(keep='first')`` — and the result is a pure
+    function of the input files under any read parallelism.
 
     Without ``id_column``, doc_id = rank of the dedup/first text column
     in sorted order (positional ids don't survive parallel reads)."""
@@ -61,7 +166,7 @@ def _flat_source_to_corpus(
         lambda t: concat_text_columns(t, text_columns), batch_format="pyarrow"
     )
     if dedup_column is not None:
-        ds = dedup_keep_first(ds, key=dedup_column, order_col=dedup_column)
+        ds = dedup_keep_first(ds, key=dedup_column, order_col="_pos")
     if id_column is not None:
         def use_id(batch):
             ids = batch.column(id_column).cast("int64")
@@ -79,7 +184,12 @@ def _flat_source_to_corpus(
     def rename_key(batch):
         return batch.append_column("url", batch.column(key).cast("string"))
 
-    keyed = ds.map_batches(rename_key, batch_format="pyarrow")
+    # project to (url, text) BEFORE assign_doc_ids: a source column
+    # literally named "id" would collide with the zip-generated rank
+    # column inside assign_doc_ids and hijack doc_id
+    keyed = ds.map_batches(rename_key, batch_format="pyarrow").select_columns(
+        ["url", "text"]
+    )
     return assign_doc_ids(keyed).select_columns(["doc_id", "text"])
 
 
@@ -95,7 +205,7 @@ def csv_to_corpus(
     text fields with ' ' -> (doc_id, text). See
     ``_flat_source_to_corpus`` for the shared pipeline semantics."""
     return _flat_source_to_corpus(
-        rd.read_csv(path),
+        _read_csv_with_pos(path),
         text_columns=text_columns,
         id_column=id_column,
         dedup_column=dedup_column,
@@ -110,12 +220,12 @@ def jsonl_to_corpus(
     dedup_column: str | None = None,
 ) -> rd.Dataset:
     """JSON-lines ingest with the same semantics as ``csv_to_corpus``
-    (the reference's loadData shape over a different wire format):
-    ``ray.data.read_json`` streams the shards, then the identical shared
-    concat -> dedup -> doc_id pipeline runs (routes pinned identical by
-    tests/test_sources.py)."""
+    (the reference's loadData shape over a different wire format): the
+    ``_pos``-stamping chunked reader streams the shards, then the
+    identical shared concat -> dedup -> doc_id pipeline runs (routes
+    pinned identical by tests/test_sources.py)."""
     return _flat_source_to_corpus(
-        rd.read_json(path),
+        _read_jsonl_with_pos(path),
         text_columns=text_columns,
         id_column=id_column,
         dedup_column=dedup_column,

@@ -49,3 +49,30 @@ def test_jsonl_route_matches_csv_route(ray_session, both_files):
     )
     assert len(from_jsonl) == 4  # keep-first dedup applied
     assert from_csv.equals(from_jsonl)
+
+
+def test_keep_first_is_file_order_across_files(ray_session, tmp_path_factory):
+    """The survivor for a duplicated key is the FILE-ORDER-first row even
+    when the duplicate lands in a different file (read task) — i.e. the
+    reader-stamped _pos column, not content hashes, decides keep-first."""
+    d = tmp_path_factory.mktemp("multi")
+    # sorted file order: 00.csv before 01.csv; key t9 appears in both.
+    # min-md5(text) would keep "aaaa early alphabet" regardless of file
+    # order; file-order keep-first must keep the 00.csv row.
+    with open(d / "00.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["track_id", "body"])
+        w.writerow(["t9", "zzzz late alphabet but first in file order"])
+        w.writerow(["t8", "some other song"])
+    with open(d / "01.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["track_id", "body"])
+        w.writerow(["t9", "aaaa early alphabet"])
+        w.writerow(["t7", "third song"])
+    corpus = csv_to_corpus(
+        str(d), text_columns=["body"], dedup_column="track_id"
+    ).to_pandas()
+    assert len(corpus) == 3
+    t9 = corpus[corpus.text.str.contains("alphabet")]
+    assert len(t9) == 1
+    assert "first in file order" in t9.iloc[0].text
