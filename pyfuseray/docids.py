@@ -355,10 +355,18 @@ def plan_ingest_broadcast(narrow: rd.Dataset) -> IngestPlan:
     )
 
 
-def apply_ingest_plan(pages: rd.Dataset, plan: IngestPlan) -> rd.Dataset:
+def apply_ingest_plan(
+    pages: rd.Dataset, plan: IngestPlan, *, include_ambiguous: bool = True
+) -> rd.Dataset:
     """Replay a broadcast IngestPlan over (any subset of) the input: the
     heavy columns make exactly ONE pass — filter losers -> doc_id =
     searchsorted(broadcast sorted urls, url). No full-width sort, no zip.
+
+    ``include_ambiguous=False`` drops rows of warc_ts-TIED duplicated
+    urls instead of resolving them inline — the per-group resumable
+    ingest must resolve those ONCE globally (``resolve_ambiguous_rows``
+    over the whole input): a tied url's rows can land in different file
+    groups, and per-group resolution would keep one survivor per group.
     """
     import ray
 
@@ -388,25 +396,39 @@ def apply_ingest_plan(pages: rd.Dataset, plan: IngestPlan) -> rd.Dataset:
         return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
 
     out = pages.map_batches(assign, batch_format="pyarrow")
-    if plan.n_amb:
-        def only_ambiguous(batch: pa.Table) -> pa.Table:
-            amb = ray.get(amb_ref)
-            keys = _keys(batch, amb.dtype.itemsize if amb.size else 1)
-            return batch.filter(pa.array(np.isin(keys, amb)))
-
-        resolved = _dedup_via_groups(
-            pages.map_batches(only_ambiguous, batch_format="pyarrow"),
-            "url", "warc_ts",
-        ).map_batches(lambda t: t, batch_format="pyarrow")
-
-        def assign_ids_only(batch: pa.Table) -> pa.Table:
-            sorted_urls = ray.get(urls_ref)
-            keys = _keys(batch, sorted_urls.dtype.itemsize)
-            doc_ids = np.searchsorted(sorted_urls, keys)
-            return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
-
-        out = out.union(resolved.map_batches(assign_ids_only, batch_format="pyarrow"))
+    if plan.n_amb and include_ambiguous:
+        out = out.union(resolve_ambiguous_rows(pages, plan))
     return out
+
+
+def resolve_ambiguous_rows(pages: rd.Dataset, plan: IngestPlan) -> rd.Dataset:
+    """The warc_ts-tied duplicated urls of a plan, resolved to exactly
+    one survivor each (md5(text) tie-break) with doc_ids assigned. Must
+    run over the WHOLE input the plan was built from — tied rows of one
+    url can live in different files."""
+    import ray
+
+    urls_ref, amb_ref = plan.urls_ref, plan.amb_ref
+
+    def only_ambiguous(batch: pa.Table) -> pa.Table:
+        amb = ray.get(amb_ref)
+        keys = _utf8_fixed_width(
+            batch.column("url"), width=amb.dtype.itemsize if amb.size else 1
+        )
+        return batch.filter(pa.array(np.isin(keys, amb)))
+
+    resolved = _dedup_via_groups(
+        pages.map_batches(only_ambiguous, batch_format="pyarrow"),
+        "url", "warc_ts",
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+
+    def assign_ids_only(batch: pa.Table) -> pa.Table:
+        sorted_urls = ray.get(urls_ref)
+        keys = _utf8_fixed_width(batch.column("url"), width=sorted_urls.dtype.itemsize)
+        doc_ids = np.searchsorted(sorted_urls, keys)
+        return batch.append_column("doc_id", pa.array(doc_ids, type=pa.int64()))
+
+    return resolved.map_batches(assign_ids_only, batch_format="pyarrow")
 
 
 def _dedup_via_groups(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:

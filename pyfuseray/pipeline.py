@@ -247,12 +247,140 @@ def jsonl_to_corpus(
 MATERIALIZE_DOC_LIMIT = 5_000_000
 
 
+def _atomic_json(path: str, obj) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+def _ingest_signature(files: list[str]) -> list[list]:
+    import os
+
+    return [[os.path.basename(f), os.path.getsize(f)] for f in files]
+
+
+def _resumable_write_first(
+    files: list[str],
+    plan,
+    corpus_dir: str,
+    final: str,
+    out_dir: str,
+    *,
+    n_groups: int | None = None,
+    read_blocks: int,
+    **build_kwargs,
+):
+    """Write-first ingest with PER-FILE-GROUP resume (the curate-sink
+    manifest pattern applied to the corpus checkpoint — VERDICT r3 #9:
+    the all-or-nothing checkpoint redid the whole extract on a crash).
+
+    Stage A (resumable per group): each file group independently replays
+    the broadcast IngestPlan (filter losers -> doc_id) -> extract (drops
+    html) -> parquet under ``pre/group=K`` (tmp-dir + atomic rename),
+    recorded in ``ingest_manifest.json`` keyed by a (basename, size)
+    signature of the input — a resumed run skips finished groups, and a
+    CHANGED input set invalidates the manifest and starts over. warc_ts-
+    TIED duplicate urls are resolved once globally as their own group
+    (per-group resolution would keep one survivor per group).
+
+    Stage B: one doc_id sort over the pre-groups streams to the final
+    corpus (tmp + atomic replace; a crash here redoes only the sort,
+    never the extract), then the index builds from the files — the
+    same read-from-files route the non-resumable gate takes.
+
+    Disk cost: the corpus is written twice (pre + final). That is the
+    resume-granularity trade; pre/ is deleted once final lands.
+    """
+    import json
+    import math
+    import os
+    import shutil
+
+    from pyfuseray.build import build_index
+    from pyfuseray.docids import apply_ingest_plan, resolve_ambiguous_rows
+
+    pre = os.path.join(corpus_dir, "pre")
+    man_path = os.path.join(corpus_dir, "ingest_manifest.json")
+    if n_groups is None:
+        n_groups = min(len(files), 32)
+    n_groups = max(1, min(n_groups, len(files)))
+    sig = {"files": _ingest_signature(files), "n_groups": n_groups,
+           "n_docs": plan.n_docs}
+    manifest = None
+    if os.path.exists(man_path):
+        try:
+            with open(man_path) as fh:
+                manifest = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            manifest = None
+        if manifest is not None and manifest.get("sig") != sig:
+            manifest = None  # input changed: restart cleanly
+    if manifest is None:
+        if os.path.exists(pre):
+            shutil.rmtree(pre)
+        manifest = {"sig": sig, "done": []}
+    os.makedirs(pre, exist_ok=True)
+    done = set(manifest["done"])
+    per = math.ceil(len(files) / n_groups)
+    groups = [files[i * per : (i + 1) * per] for i in range(n_groups)]
+    groups = [g for g in groups if g]
+    todo = [(k, g) for k, g in enumerate(groups) if k not in done]
+    if plan.n_amb and "amb" not in done:
+        todo.append(("amb", files))
+    for k, group_files in todo:
+        if k == "amb":
+            src = rd.read_parquet(files, override_num_blocks=read_blocks)
+            out = resolve_ambiguous_rows(src, plan)
+        else:
+            src = rd.read_parquet(
+                group_files,
+                override_num_blocks=max(len(group_files), read_blocks),
+            )
+            out = apply_ingest_plan(src, plan, include_ambiguous=False)
+        out = out.map_batches(extract_batch, batch_format="pyarrow")
+        out = out.select_columns(["doc_id", "url", "text"])
+        gdir = os.path.join(pre, f"group={k}")
+        gtmp = gdir + ".writing"
+        for stale in (gtmp, gdir):
+            # gdir may exist without a manifest record (crash between
+            # the rename and the manifest write): redo it
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        out.write_parquet(gtmp)
+        os.replace(gtmp, gdir)
+        manifest["done"].append(k)
+        _atomic_json(man_path, manifest)
+    # stage B: global doc_id sort -> final corpus (atomic)
+    group_files = sorted(
+        os.path.join(pre, d, f)
+        for d in os.listdir(pre)
+        if d.startswith("group=") and not d.endswith(".writing")
+        for f in os.listdir(os.path.join(pre, d))
+        if f.endswith(".parquet")
+    )
+    tmp_final = final + ".writing"
+    if os.path.exists(tmp_final):
+        shutil.rmtree(tmp_final)
+    rd.read_parquet(group_files).sort("doc_id").write_parquet(tmp_final)
+    os.replace(tmp_final, final)
+    shutil.rmtree(pre)
+    os.remove(man_path)
+    corpus = rd.read_parquet(final, columns=["doc_id", "text"])
+    return build_index(corpus, out_dir, n_docs=plan.n_docs,
+                       corpus_sorted=True, **build_kwargs)
+
+
 def build_from_pages(
     pages: rd.Dataset | str,
     out_dir: str,
     *,
     corpus_dir: str | None = None,
     materialize_threshold: int = MATERIALIZE_DOC_LIMIT,
+    ingest_groups: int | None = None,
     **build_kwargs,
 ) -> Manifest:
     """Full ingest + index build from a pages Dataset or parquet path.
@@ -277,8 +405,16 @@ def build_from_pages(
     streams from the files (the resume code path) so object-store
     residency stays bounded. Both routes produce identical indexes
     (pinned by ``tests/test_pages.py``).
+
+    When the source is a PATH on the broadcast-plan route, the
+    write-first checkpoint is additionally resumable PER FILE GROUP
+    (``_resumable_write_first``): a crash mid-ingest redoes only the
+    unfinished groups plus the final sort, never the whole extract.
+    ``ingest_groups`` forces that route with an explicit group count
+    (tests); by default it engages above ``materialize_threshold``.
     """
     narrow = None
+    src_path = pages if isinstance(pages, str) else None
     if isinstance(pages, str):
         # Ray parallelizes parquet reads per FILE, and its default block
         # sizing either leaves one task per giant file or shatters small
@@ -295,6 +431,7 @@ def build_from_pages(
             else 8
         )
         nb = max(16, 2 * ncpu)
+        src_read_blocks = nb
         narrow = rd.read_parquet(
             pages, columns=["url", "warc_ts"], override_num_blocks=nb
         )
@@ -314,9 +451,30 @@ def build_from_pages(
         # One narrow (url, warc_ts) pass plans dedup + the doc_id rank
         # map; the heavy columns make exactly ONE pass: filter losers ->
         # doc_id = searchsorted -> extract (drops html) -> doc_id sort.
-        from pyfuseray.docids import ingest_pages
+        from pyfuseray.docids import (
+            BROADCAST_URL_LIMIT,
+            apply_ingest_plan,
+            ingest_pages,
+            plan_ingest_broadcast,
+        )
 
-        with_ids, n_docs = ingest_pages(pages, narrow=narrow)
+        plan = None
+        if src_path is not None and narrow.count() <= BROADCAST_URL_LIMIT:
+            plan = plan_ingest_broadcast(narrow)
+            n_docs = plan.n_docs
+            if ingest_groups is not None or n_docs > materialize_threshold:
+                src_files = [
+                    f for f in _flat_files(src_path) if f.endswith(".parquet")
+                ] or _flat_files(src_path)
+                return _resumable_write_first(
+                    src_files, plan, corpus_dir, final, out_dir,
+                    n_groups=ingest_groups,
+                    read_blocks=src_read_blocks,
+                    **build_kwargs,
+                )
+            with_ids = apply_ingest_plan(pages, plan)
+        else:
+            with_ids, n_docs = ingest_pages(pages, narrow=narrow)
         extracted = with_ids.map_batches(extract_batch, batch_format="pyarrow")
         # int sort by doc_id: tokenizer batches then cover contiguous doc
         # ranges, so SPIMI runs stay doc-disjoint and the segment merge is
