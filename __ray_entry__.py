@@ -1231,6 +1231,172 @@ def _q_boolean_and_simple(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_boolean_or_simple(sf_dir: str):
+    """Boolean OR (posting-list union, pyfuseray/query.py
+    search_boolean mode='or'). Oracle: DISTINCT docs containing any
+    query term."""
+    ix = _ensure_simple_index(sf_dir)
+    from pyfuseray.query import IndexSearcher
+
+    s = IndexSearcher(ix)
+    qids, dids = [], []
+    for qid, q in enumerate(SIMPLE_BM25_QUERIES):
+        docs = s.search_boolean(q, mode="or")
+        qids.extend([qid] * len(docs))
+        dids.extend(int(d) for d in docs)
+    return pd.DataFrame({"query_id": qids, "doc_id": dids}).sort_values(
+        ["query_id", "doc_id"]
+    ).reset_index(drop=True)
+
+
+def _q_boolean_andnot_simple(sf_dir: str):
+    """Boolean AND-NOT (intersection minus exclusion union —
+    search_boolean(exclude=...)). Oracle: HAVING-count EXCEPT."""
+    ix = _ensure_simple_index(sf_dir)
+    from pyfuseray.query import IndexSearcher
+
+    docs = IndexSearcher(ix).search_boolean(
+        "fast scan", mode="and", exclude="merge"
+    )
+    return pd.DataFrame({"doc_id": [int(d) for d in docs]}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+# mix of long (single-candidate) and short (many-candidate) typos so
+# the (dist, df DESC, term) ranking itself is exercised, not just
+# existence
+SPELL_QUERY_TERMS = ["qury", "strem", "winow", "mereg", "batc", "sot", "ro", "ky"]
+
+
+def _q_spelling_suggest(sf_dir: str):
+    """Dictionary spelling suggestion (pyfuseray/extras/spelling.py):
+    top-5 index-dictionary terms within edit distance 2 of each
+    misspelled query term, ranked (dist ASC, df DESC, term ASC). The
+    candidate source is the simple index's (term, df) dictionary —
+    vocabulary-sized — and the per-batch Levenshtein DP is numpy-
+    vectorized over all candidates at once. Oracle: DuckDB's built-in
+    levenshtein() over the from-scratch df table."""
+    import ray.data as rd
+
+    from pyfuseray.extras.spelling import suggest
+
+    ix = _ensure_simple_index(sf_dir)
+    dictionary = rd.read_parquet(
+        os.path.join(ix, "stats", "df.parquet"), columns=["term", "df"]
+    )
+    return suggest(dictionary, SPELL_QUERY_TERMS, max_dist=2, k=5)
+
+
+def _q_prefix_search_bm25(sf_dir: str):
+    """Prefix (wildcard) query: expand 's%' against the index
+    dictionary, then rank the union query with full BM25 — the
+    autocomplete/leading-wildcard path every fulltext engine grows.
+    Expansion is a vectorized starts_with scan of the vocabulary-sized
+    dictionary; ranking reuses the production BM25 path. Oracle: the
+    from-scratch BM25 CTE with q = (SELECT term FROM df WHERE term
+    LIKE 's%')."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pyfuseray.query import IndexSearcher
+
+    ix = _ensure_simple_index(sf_dir)
+    terms_tbl = rd.read_parquet(
+        os.path.join(ix, "stats", "df.parquet"), columns=["term"]
+    ).map_batches(
+        lambda t: t.filter(pc.starts_with(t.column("term"), "s")),
+        batch_format="pyarrow",
+    ).to_pandas()
+    terms = sorted(set(terms_tbl["term"]))
+    s = IndexSearcher(ix)
+    hits = s.search_bm25(" ".join(terms), top_k=50)
+    df = pd.DataFrame(hits, columns=["doc_id", "score"])
+    df["score"] = df["score"].round(6)
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+    df = df.reset_index(drop=True)
+    df["rank"] = df.index
+    return df[["rank", "doc_id", "score"]]
+
+
+PHRASE_QUERY = "fast scan"
+# token-adjacency as a regex over lower(text): identical RE2 semantics
+# on both sides (pyarrow match_substring_regex / DuckDB regexp_matches)
+PHRASE_REGEX = "(^|[^a-z0-9])fast[^a-z0-9]+scan([^a-z0-9]|$)"
+
+
+def _q_phrase_filter_bm25(sf_dir: str):
+    """Phrase query without positional postings: boolean-AND candidates
+    from the index, a DISTRIBUTED adjacency verify (vectorized RE2 over
+    only the candidate rows — the isin pushdown keeps the scan
+    output-sized), then full-corpus-stats BM25 ranking restricted to
+    verified docs. top_k for the scoring pass = |OR set| so every
+    scored doc is retrievable before the phrase filter. Oracle: BM25
+    CTE joined to regexp_matches(lower(text))."""
+    import ray
+    import pyarrow.compute as pc
+
+    from pyfuseray.query import IndexSearcher
+
+    ix = _ensure_simple_index(sf_dir)
+    s = IndexSearcher(ix)
+    cand = s.search_boolean(PHRASE_QUERY, mode="and")
+    if not cand.size:
+        return pd.DataFrame(columns=["rank", "doc_id", "score"])
+    cand_ref = ray.put(np.sort(cand))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(np.isin(ids, ray.get(cand_ref))))
+        lower = pc.utf8_lower(batch.column("text"))
+        return batch.filter(
+            pc.match_substring_regex(lower, PHRASE_REGEX)
+        ).select(["doc_id"])
+
+    matched = set(
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(verify, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+    )
+    n_scored = int(s.search_boolean(PHRASE_QUERY, mode="or").size)
+    hits = s.search_bm25(PHRASE_QUERY, top_k=max(n_scored, 1))
+    df = pd.DataFrame(hits, columns=["doc_id", "score"])
+    df = df[df["doc_id"].isin(matched)]
+    df["score"] = df["score"].round(6)
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+    df = df.reset_index(drop=True)
+    df["rank"] = df.index
+    return df[["rank", "doc_id", "score"]]
+
+
+def _q_search_snippets(sf_dir: str):
+    """Top-10 BM25 results WITH highlighted snippets
+    (pyfuseray/snippets.py): query-term-anchored 80-char windows, the
+    first occurrence of the winning (earliest-position) term wrapped in
+    ``**``. The snippet pass is one isin-pushdown streaming scan of
+    (doc_id, text) with vectorized Arrow kernels + byte-gather slicing.
+    Oracle: strpos/substr/regexp_replace over the same window
+    definition."""
+    from pyfuseray.query import IndexSearcher
+    from pyfuseray.snippets import snippets_for
+
+    ix = _ensure_simple_index(sf_dir)
+    s = IndexSearcher(ix)
+    hits = s.search_bm25("fast scan merge", top_k=50)
+    df = pd.DataFrame(hits, columns=["doc_id", "score"])
+    df["score"] = df["score"].round(6)
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+    df = df.reset_index(drop=True)
+    df["rank"] = df.index
+    snips = snippets_for(
+        _docs(sf_dir), df["doc_id"].to_numpy(), ["fast", "scan", "merge"],
+        lead=30, width=80,
+    )
+    out = df.merge(snips, on="doc_id", how="left")
+    return out[["rank", "doc_id", "score", "snippet"]]
+
+
 def _q_contamination_pairs(sf_dir: str):
     """Benchmark decontamination (pyfuseray/extras/contamination.py):
     train docs (doc_id % 10 != 7) sharing a distinct token 5-gram with
@@ -1437,6 +1603,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_with_lineitems": _q_parts_with_lineitems,
         "running_revenue": _q_running_revenue,
         "boolean_and_simple": _q_boolean_and_simple,
+        "boolean_or_simple": _q_boolean_or_simple,
+        "boolean_andnot_simple": _q_boolean_andnot_simple,
+        "spelling_suggest_simple": _q_spelling_suggest,
+        "prefix_search_bm25_simple": _q_prefix_search_bm25,
+        "phrase_filter_bm25_simple": _q_phrase_filter_bm25,
+        "search_snippets_simple": _q_search_snippets,
         "top_bigrams_pmi": _q_top_bigrams_pmi,
         "repetition_stats": _q_repetition_stats,
         "contamination_pairs": _q_contamination_pairs,
@@ -1499,6 +1671,15 @@ _BM25_SCORES_CTE = """
         GROUP BY q.query_id, tf.doc_id
     )
 """
+
+_SPELL_Q_VALUES = ", ".join(f"('{t}')" for t in SPELL_QUERY_TERMS)
+
+# the prefix-query oracle reuses the BM25 chain with q drawn from the
+# df dictionary (LIKE 's%') instead of a VALUES literal
+_PREFIX_BM25_CTE = _BM25_SCORES_CTE.replace(
+    "q(query_id, term) AS (VALUES {qvalues})",
+    "q AS (SELECT DISTINCT 0 AS query_id, term FROM df WHERE term LIKE 's%')",
+)
 
 # SimHash in SQL: per-token 64-bit hash = big-endian first 8 bytes of
 # md5 (('0x' || substr(md5(tok),1,16))::UBIGINT == int.from_bytes(
@@ -2318,6 +2499,121 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY q.query_id, t.doc_id, qn.n
             HAVING count(DISTINCT t.term) = qn.n
             ORDER BY query_id, doc_id
+        """,
+        # boolean OR: DISTINCT union of per-term posting docs
+        "boolean_or_simple": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            q(query_id, term) AS (VALUES {_BM25_Q_VALUES})
+            SELECT DISTINCT q.query_id, t.doc_id
+            FROM q JOIN toks t USING (term)
+            ORDER BY query_id, doc_id
+        """,
+        # boolean AND-NOT: intersection minus the exclusion union
+        "boolean_andnot_simple": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+            )
+            SELECT doc_id FROM (
+                SELECT doc_id FROM toks WHERE term IN ('fast', 'scan')
+                GROUP BY doc_id HAVING count(DISTINCT term) = 2
+                EXCEPT
+                SELECT doc_id FROM toks WHERE term = 'merge'
+            ) ORDER BY doc_id
+        """,
+        # spelling suggestion: DuckDB's built-in levenshtein over the
+        # from-scratch df dictionary; rank (dist, df DESC, suggestion)
+        "spelling_suggest_simple": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+            q(query_term) AS (VALUES {_SPELL_Q_VALUES}),
+            cand AS (
+                SELECT q.query_term, d.term AS suggestion,
+                       levenshtein(q.query_term, d.term)::BIGINT AS dist,
+                       d.df
+                FROM q CROSS JOIN df d
+                WHERE abs(length(q.query_term) - length(d.term)) <= 2
+                  AND levenshtein(q.query_term, d.term) <= 2
+            )
+            SELECT query_term, rank, suggestion, dist, df FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_term
+                    ORDER BY dist, df DESC, suggestion
+                ) - 1 AS rank FROM cand
+            ) WHERE rank < 5 ORDER BY query_term, rank
+        """,
+        # prefix query: q = dictionary terms LIKE 's%', then the same
+        # from-scratch BM25 chain as bm25_topk_simple
+        "prefix_search_bm25_simple": f"""
+            WITH {_PREFIX_BM25_CTE}
+            SELECT rank, doc_id, score FROM (
+                SELECT doc_id, round(score, 6) AS score,
+                       row_number() OVER (
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM scores
+            ) WHERE rank < 10 ORDER BY rank
+        """,
+        # snippets: earliest-position query term anchors an 80-char
+        # window (substr, 1-based like strpos); first occurrence of the
+        # winning term inside the lowered window wrapped in ** (DuckDB
+        # regexp_replace replaces the first match by default; terms are
+        # [a-z0-9]+ so regex == literal). Ties between terms at equal
+        # position break by term-list order (ti) on both sides.
+        "search_snippets_simple": f"""
+            WITH {_BM25_SCORES_CTE.format(
+                qvalues="(0, 'fast'), (0, 'scan'), (0, 'merge')"
+            )},
+            ranked AS (
+                SELECT doc_id, round(score, 6) AS score,
+                       row_number() OVER (
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM scores
+            ),
+            terms(ti, t) AS (VALUES (0, 'fast'), (1, 'scan'), (2, 'merge')),
+            hit AS (
+                SELECT d.doc_id, t.ti, t.t,
+                       strpos(lower(d.text), t.t) AS p
+                FROM documents d CROSS JOIN terms t
+                WHERE strpos(lower(d.text), t.t) > 0
+            ),
+            win AS (
+                SELECT doc_id, t, p FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY p, ti
+                    ) AS rn FROM hit
+                ) WHERE rn = 1
+            )
+            SELECT r.rank, r.doc_id, r.score,
+                   CASE WHEN w.doc_id IS NULL
+                        THEN lower(substr(d.text, 1, 80))
+                        ELSE regexp_replace(
+                            lower(substr(d.text, greatest(w.p - 30, 1), 80)),
+                            w.t, '**' || w.t || '**')
+                   END AS snippet
+            FROM ranked r
+            JOIN documents d USING (doc_id)
+            LEFT JOIN win w ON w.doc_id = r.doc_id
+            WHERE r.rank < 10 ORDER BY r.rank
+        """,
+        # phrase query: BM25 scores joined to the regex-adjacency match
+        "phrase_filter_bm25_simple": f"""
+            WITH {_BM25_SCORES_CTE.format(qvalues="(0, 'fast'), (0, 'scan')")},
+            matched AS (
+                SELECT doc_id FROM documents
+                WHERE regexp_matches(lower(text), '{PHRASE_REGEX}')
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT s.doc_id, round(s.score, 6) AS score,
+                       row_number() OVER (
+                           ORDER BY round(s.score, 6) DESC, s.doc_id
+                       ) - 1 AS rank
+                FROM scores s JOIN matched USING (doc_id)
+            ) WHERE rank < 10 ORDER BY rank
         """,
         # decontamination: distinct shared 5-grams between the train and
         # eval splits; gram construction identical to minhash_pairs'

@@ -98,15 +98,33 @@ def run_bench() -> dict:
     if not os.path.isdir(pages_path):
         import shutil
 
-        tbl = synth_pages(n_pages, seed=42, null_text_frac=0.15, dup_frac=0.02,
-                          vocab_size=vocab, words_per_doc=(wlo, whi))
         tmp = pages_path + ".writing"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        shard = 12_500  # ~20 MB/file; small row groups split further
-        for i, off in enumerate(range(0, tbl.num_rows, shard)):
-            pq.write_table(tbl.slice(off, shard),
-                           f"{tmp}/part-{i:05d}.parquet", row_group_size=4096)
+        if n_pages > 2_500_000:
+            # XL corpora: bounded-memory CHUNKED synthesis (one table per
+            # shard via id_offset; holding a 5M-row python-list table
+            # would be ~20 GB of driver heap). Chunking changes the rng
+            # stream vs the whole-table path, so the gate sits above the
+            # 1.2M/2.4M scaling corpora to keep those comparable across
+            # rounds.
+            chunk = 200_000
+            for k, off in enumerate(range(0, n_pages, chunk)):
+                tbl = synth_pages(
+                    min(chunk, n_pages - off), seed=42 + k,
+                    null_text_frac=0.15, dup_frac=0.02, vocab_size=vocab,
+                    words_per_doc=(wlo, whi), id_offset=off,
+                )
+                pq.write_table(tbl, f"{tmp}/part-{k:05d}.parquet",
+                               row_group_size=8192)
+        else:
+            tbl = synth_pages(n_pages, seed=42, null_text_frac=0.15,
+                              dup_frac=0.02, vocab_size=vocab,
+                              words_per_doc=(wlo, whi))
+            shard = 12_500  # ~20 MB/file; small row groups split further
+            for i, off in enumerate(range(0, tbl.num_rows, shard)):
+                pq.write_table(tbl.slice(off, shard),
+                               f"{tmp}/part-{i:05d}.parquet", row_group_size=4096)
         os.replace(tmp, pages_path)
     # warm the OS page cache so we measure compute+shuffle, not first read
     for name in os.listdir(pages_path):
@@ -582,10 +600,61 @@ def run_latency_table() -> dict:
             "num_cpus": num_cpus, "table": table}
 
 
+def run_xl() -> dict:
+    """One leg pair at >MATERIALIZE_DOC_LIMIT docs: exercises the
+    write-first RESUMABLE ingest route end-to-end at its design scale
+    (VERDICT r3 #10 — previously the >gate route was identity-tested but
+    benched only via the pre-gate 2.4M control). Same interleaved-legs /
+    per-leg-minima hygiene as run_scaling; docs are shorter (40-160
+    words) so the corpus clears the 5M-doc gate without the run costing
+    an hour."""
+    n = int(os.environ.get("PYFUSERAY_XL_DOCS", "5300000"))
+    lo = int(os.environ.get("PYFUSERAY_SCALE_LO", "8"))
+    hi = int(os.environ.get("PYFUSERAY_SCALE_HI", "32"))
+    rounds = int(os.environ.get("PYFUSERAY_XL_ROUNDS", "2"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PYFUSERAY_BENCH_ONLY_BUILD="1",
+                   PYFUSERAY_BENCH_DOCS=str(n),
+                   PYFUSERAY_BENCH_WORDS=os.environ.get(
+                       "PYFUSERAY_BENCH_WORDS", "40,160"))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    runs_lo, runs_hi = [], []
+    for _ in range(rounds):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": f"XL write-first build ({n} pages, {lo} -> {hi} CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["docs_per_sec_pages"],
+        "docs_per_sec_hi": r_hi["docs_per_sec_pages"],
+        "n_pages": n, "rounds": rounds,
+        "route": "write-first resumable (> MATERIALIZE_DOC_LIMIT)",
+        "runs_lo": [t for r in runs_lo for t in (r.get("build_pages_runs") or [])],
+        "runs_hi": [t for r in runs_hi for t in (r.get("build_pages_runs") or [])],
+        "host_lo": [h for r in runs_lo for h in (r.get("build_pages_host") or [])],
+        "host_hi": [h for r in runs_hi for h in (r.get("build_pages_host") or [])],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--latency-table" in sys.argv:
         print(json.dumps(run_latency_table()))
+    elif "--xl" in sys.argv:
+        print(json.dumps(run_xl()))
     else:
         print(json.dumps(run_bench()))

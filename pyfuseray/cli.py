@@ -110,6 +110,24 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_suggest(args: argparse.Namespace) -> int:
+    """Spelling suggestions from the index dictionary (extras/spelling)."""
+    import os
+
+    import ray.data as rd
+
+    from pyfuseray.extras.spelling import suggest
+
+    _ray_session()
+    dictionary = rd.read_parquet(
+        os.path.join(args.index, "stats", "df.parquet"), columns=["term", "df"]
+    )
+    out = suggest(dictionary, args.terms.split(","), max_dist=args.max_dist,
+                  k=args.k)
+    print(out.to_string(index=False))
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from pyfuseray.sqlfront import execute_sql
 
@@ -205,6 +223,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--scoring", choices=["tfidf", "bm25"], default="bm25")
     s.add_argument("--algorithm", choices=["auto", "taat", "wand"], default="auto")
     s.set_defaults(fn=cmd_search)
+
+    g = sub.add_parser("suggest", help="did-you-mean over the index dictionary")
+    g.add_argument("--index", required=True)
+    g.add_argument("--terms", required=True, help="comma-separated query terms")
+    g.add_argument("--k", type=int, default=5)
+    g.add_argument("--max-dist", type=int, default=2)
+    g.set_defaults(fn=cmd_suggest)
 
     q = sub.add_parser("sql", help="run a mini-SQL query (SELECT ... LIKE ...)")
     q.add_argument("sql")

@@ -47,6 +47,7 @@ def synth_pages(
     hot_frac: float = 0.5,
     words_per_doc: tuple[int, int] = (20, 120),
     vocab_size: int = 0,
+    id_offset: int = 0,
 ) -> pa.Table:
     """Build the pages table deterministically.
 
@@ -54,6 +55,12 @@ def synth_pages(
     words (base + digit suffix) under a zipfian distribution — the
     realistic long-tail regime for web text (large df table, lower
     stem-cache hit rates, selective query terms).
+
+    ``id_offset`` shifts the url/warc_ts id space so multi-million-row
+    corpora can be synthesized in bounded-memory CHUNKS (one
+    ``synth_pages(chunk, seed=base+k, id_offset=k*chunk)`` call per
+    shard) without url collisions across chunks — duplicates then only
+    occur within a chunk, which is all the dedup stages need.
     """
     rng = np.random.default_rng(seed)
     if vocab_size and vocab_size > len(_VOCAB):
@@ -82,7 +89,7 @@ def synth_pages(
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in range(n_rows):
-        u = i if i < n_unique else int(dup_of[i])
+        u = id_offset + (i if i < n_unique else int(dup_of[i]))
         url = f"https://site{u % 97:02d}.example/page/{u:08d}"
         words = list(vocab[all_idx[starts[i] : ends[i]]])
         if has_hot[i]:
@@ -94,7 +101,7 @@ def synth_pages(
             f"<body><p>{body}</p></body></html>"
         ).encode("utf-8")
         urls.append(url)
-        tss.append(_EPOCH_2024_12_01_US + i * 1_000_000)
+        tss.append(_EPOCH_2024_12_01_US + (id_offset + i) * 1_000_000)
         htmls.append(html)
         texts.append(None if is_null[i] else body)
         langs.append(_LANGS[int(lang_idx[i])])

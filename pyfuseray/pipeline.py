@@ -306,7 +306,10 @@ def _resumable_write_first(
     pre = os.path.join(corpus_dir, "pre")
     man_path = os.path.join(corpus_dir, "ingest_manifest.json")
     if n_groups is None:
-        n_groups = min(len(files), 32)
+        # resume granularity vs per-group pipeline startup + read
+        # parallelism (Ray reads parquet per FILE: a 1-file group's
+        # decode is one task no matter the CPU count)
+        n_groups = min(len(files), 16)
     n_groups = max(1, min(n_groups, len(files)))
     sig = {"files": _ingest_signature(files), "n_groups": n_groups,
            "n_docs": plan.n_docs}

@@ -197,16 +197,26 @@ class IndexSearcher:
         uniq, scores = self._drop_deleted(uniq, scores)
         return _topk(uniq, scores, top_k)
 
-    def search_boolean(self, query: str, mode: str = "and") -> np.ndarray:
+    def search_boolean(
+        self, query: str, mode: str = "and", exclude: str | None = None
+    ) -> np.ndarray:
         """Unranked boolean retrieval over the inverted index: sorted
         doc_ids of documents containing ALL query terms (``mode="and"``,
         posting-list intersection — the PostgreSQL-GIN ``@@ to_tsquery``
         shape the reference benchmarks against, Experiments.py) or ANY
-        (``mode="or"``, union). Vectorized: np.intersect1d/union1d over
-        decoded posting doc_ids; an AND with any absent term is empty.
-        Hash-checked vs a DuckDB HAVING-count oracle (contract
-        ``boolean_and_simple``)."""
+        (``mode="or"``, union). ``exclude`` removes documents containing
+        ANY of its terms (AND-NOT / OR-NOT). Vectorized:
+        np.intersect1d/union1d/setdiff1d over decoded posting doc_ids;
+        an AND with any absent term is empty. Hash-checked vs DuckDB
+        HAVING-count / EXCEPT oracles (contracts ``boolean_and_simple``,
+        ``boolean_or_simple``, ``boolean_andnot_simple``)."""
         assert mode in ("and", "or")
+        if exclude is not None:
+            base = self.search_boolean(query, mode=mode)
+            if not base.size:
+                return base
+            drop = self.search_boolean(exclude, mode="or")
+            return np.setdiff1d(base, drop, assume_unique=True)
         terms = self.analyzer.preprocess_query(query)
         if not terms:
             return np.array([], dtype=np.int64)
