@@ -931,6 +931,40 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+# target mixture weights: exact-in-float64 integers (so budget*w/W is
+# bit-identical in numpy and DuckDB); src19 deliberately over-weighted
+# past its row count to exercise the availability cap
+MIX_WEIGHTS = {f"src{i}": float((i % 4) + 1) for i in range(19)}
+MIX_WEIGHTS["src19"] = 30.0
+MIX_BUDGET = 200
+_MIX_W_VALUES = ", ".join(
+    f"('{s}', {w:.1f})" for s, w in sorted(MIX_WEIGHTS.items())
+)
+
+
+def _q_mix_sources(sf_dir: str):
+    """Data-mixture construction (pyfuseray/extras/mixture.py): select
+    ~budget docs matching target per-source weights — largest-remainder
+    quotas capped by availability, rows taken in md5-rank order. One
+    native groupby-count, driver quota arithmetic over #sources rows,
+    then the per-group-quota partial-top-k combiner (each batch forwards
+    at most quota_s rows per source; coarse-bucket shuffle). Oracle:
+    the same allocation in SQL window functions."""
+    from pyfuseray.extras.mixture import mix_to_target
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    out = mix_to_target(
+        docs, group_col="source", id_col="doc_id",
+        weights=MIX_WEIGHTS, budget=MIX_BUDGET,
+    )
+    return (
+        out.select_columns(["source", "rank", "doc_id"])
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_incremental_df_simple(sf_dir: str):
     """Incremental index maintenance, hash-checked: build a simple-mode
     index over the first half of the documents table, ``add_documents``
@@ -1609,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search_bm25_simple": _q_prefix_search_bm25,
         "phrase_filter_bm25_simple": _q_phrase_filter_bm25,
         "search_snippets_simple": _q_search_snippets,
+        "mix_sources_to_target": _q_mix_sources,
         "top_bigrams_pmi": _q_top_bigrams_pmi,
         "repetition_stats": _q_repetition_stats,
         "contamination_pairs": _q_contamination_pairs,
@@ -2499,6 +2534,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY q.query_id, t.doc_id, qn.n
             HAVING count(DISTINCT t.term) = qn.n
             ORDER BY query_id, doc_id
+        """,
+        # data mixture: largest-remainder quotas (floor + top fractional
+        # parts, ties by source; capped by availability, no
+        # re-allocation) over exact-in-float64 weights; per-source rows
+        # in the stratified sampler's md5-rank order
+        "mix_sources_to_target": f"""
+            WITH w(source, wt) AS (VALUES {_MIX_W_VALUES}),
+            tw AS (SELECT sum(wt) AS tw FROM w),
+            alloc AS (
+                SELECT w.source,
+                       floor({MIX_BUDGET} * wt / tw.tw) AS base,
+                       {MIX_BUDGET} * wt / tw.tw
+                           - floor({MIX_BUDGET} * wt / tw.tw) AS frac
+                FROM w, tw
+            ),
+            ex AS (
+                SELECT source,
+                       row_number() OVER (ORDER BY frac DESC, source) AS rn
+                FROM alloc
+            ),
+            lo AS (SELECT {MIX_BUDGET} - sum(base) AS m FROM alloc),
+            cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            quota AS (
+                SELECT a.source,
+                       least(a.base + CASE WHEN e.rn <= l.m THEN 1 ELSE 0 END,
+                             cnt.n) AS q
+                FROM alloc a
+                JOIN ex e USING (source)
+                JOIN cnt USING (source)
+                CROSS JOIN lo l
+            ),
+            ranked AS (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(
+                               md5(cast(doc_id AS VARCHAR)), 1, 15
+                           ))::BIGINT, doc_id
+                       ) - 1 AS rank
+                FROM documents
+            )
+            SELECT r.source, r.rank, r.doc_id
+            FROM ranked r JOIN quota q USING (source)
+            WHERE r.rank < q.q
+            ORDER BY source, rank
         """,
         # boolean OR: DISTINCT union of per-term posting docs
         "boolean_or_simple": f"""
