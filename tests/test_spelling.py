@@ -102,3 +102,20 @@ def test_boolean_or_andnot_algebra(small_index):
         s.search_boolean("fast scan", mode="and", exclude="zzznope").tolist()
     ) == {0, 1, 3}
     assert s.search_boolean("zzznope", mode="and", exclude="fast").size == 0
+
+
+def test_largest_remainder_quotas():
+    from pyfuseray.extras.mixture import largest_remainder_quotas
+
+    w = {"a": 1.0, "b": 1.0, "c": 1.0}
+    q = largest_remainder_quotas(w, {"a": 99, "b": 99, "c": 99}, 10)
+    assert sum(q.values()) == 10
+    assert sorted(q.values(), reverse=True) == [4, 3, 3]
+    # exact thirds: leftover goes to smallest source names first on ties
+    assert q["a"] == 4
+    # availability cap: no re-allocation, deterministic under-fill
+    q2 = largest_remainder_quotas(w, {"a": 2, "b": 99, "c": 99}, 30)
+    assert q2 == {"a": 2, "b": 10, "c": 10}
+    # zero-weight and missing-count sources
+    q3 = largest_remainder_quotas({"a": 1.0, "b": 0.0}, {"a": 5}, 4)
+    assert q3 == {"a": 4, "b": 0}
