@@ -272,6 +272,7 @@ def _resumable_write_first(
     *,
     n_groups: int | None = None,
     read_blocks: int,
+    concurrency: int | None = None,
     **build_kwargs,
 ):
     """Write-first ingest with PER-FILE-GROUP resume (the curate-sink
@@ -292,6 +293,14 @@ def _resumable_write_first(
     never the extract), then the index builds from the files — the
     same read-from-files route the non-resumable gate takes.
 
+    ``concurrency`` group pipelines run at once (driver threads, the
+    corpus-write overlap pattern): one group reads only a couple of
+    files, so a lone pipeline can't feed a big node — measured 54% idle
+    at 32 CPUs sequential. Completion order (and hence manifest order)
+    is nondeterministic; the OUTPUT is not — stage B's global sort
+    erases it. concurrency=1 restores the deterministic order the
+    kill-and-resume test pins.
+
     Disk cost: the corpus is written twice (pre + final). That is the
     resume-granularity trade; pre/ is deleted once final lands.
     """
@@ -299,8 +308,10 @@ def _resumable_write_first(
     import math
     import os
     import shutil
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
-    from pyfuseray.build import build_index
+    from pyfuseray.build import _pin_fsspec_http_stub, build_index
     from pyfuseray.docids import apply_ingest_plan, resolve_ambiguous_rows
 
     pre = os.path.join(corpus_dir, "pre")
@@ -334,7 +345,10 @@ def _resumable_write_first(
     todo = [(k, g) for k, g in enumerate(groups) if k not in done]
     if plan.n_amb and "amb" not in done:
         todo.append(("amb", files))
-    for k, group_files in todo:
+    man_lock = threading.Lock()
+
+    def run_group(item):
+        k, group_files = item
         if k == "amb":
             src = rd.read_parquet(files, override_num_blocks=read_blocks)
             out = resolve_ambiguous_rows(src, plan)
@@ -355,8 +369,25 @@ def _resumable_write_first(
                 shutil.rmtree(stale)
         out.write_parquet(gtmp)
         os.replace(gtmp, gdir)
-        manifest["done"].append(k)
-        _atomic_json(man_path, manifest)
+        with man_lock:
+            manifest["done"].append(k)
+            _atomic_json(man_path, manifest)
+
+    if concurrency is None:
+        concurrency = 4
+    concurrency = max(1, min(concurrency, len(todo) or 1))
+    if todo:
+        if concurrency == 1:
+            for item in todo:
+                run_group(item)
+        else:
+            # concurrent driver threads each running a Ray Data
+            # pipeline: pin the fsspec http stub BEFORE the pool starts
+            # (failed-import eviction race, see _pin_fsspec_http_stub)
+            _pin_fsspec_http_stub()
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                for _ in pool.map(run_group, todo):
+                    pass
     # stage B: global doc_id sort -> final corpus (atomic)
     group_files = sorted(
         os.path.join(pre, d, f)
@@ -384,6 +415,7 @@ def build_from_pages(
     corpus_dir: str | None = None,
     materialize_threshold: int = MATERIALIZE_DOC_LIMIT,
     ingest_groups: int | None = None,
+    ingest_concurrency: int | None = None,
     **build_kwargs,
 ) -> Manifest:
     """Full ingest + index build from a pages Dataset or parquet path.
@@ -473,6 +505,7 @@ def build_from_pages(
                     src_files, plan, corpus_dir, final, out_dir,
                     n_groups=ingest_groups,
                     read_blocks=src_read_blocks,
+                    concurrency=ingest_concurrency,
                     **build_kwargs,
                 )
             with_ids = apply_ingest_plan(pages, plan)

@@ -54,7 +54,8 @@ def test_crash_resume_identical(ray_session, pages_dir, tmp_path, monkeypatch):
         build_from_pages(
             pages_dir, str(tmp_path / "ix"),
             corpus_dir=str(tmp_path / "corp"),
-            ingest_groups=4, num_buckets=2, overwrite=True,
+            ingest_groups=4, ingest_concurrency=1,
+            num_buckets=2, overwrite=True,
         )
     pre = tmp_path / "corp" / "pre"
     man = tmp_path / "corp" / "ingest_manifest.json"
@@ -74,7 +75,7 @@ def test_crash_resume_identical(ray_session, pages_dir, tmp_path, monkeypatch):
     m2 = build_from_pages(
         pages_dir, str(tmp_path / "ix"),
         corpus_dir=str(tmp_path / "corp"),
-        ingest_groups=4, num_buckets=2,
+        ingest_groups=4, ingest_concurrency=1, num_buckets=2,
     )
     monkeypatch.setattr(pipeline, "_atomic_json", real)
     assert 0 not in resumed_groups and 1 not in resumed_groups
