@@ -76,3 +76,18 @@ def test_keep_first_is_file_order_across_files(ray_session, tmp_path_factory):
     t9 = corpus[corpus.text.str.contains("alphabet")]
     assert len(t9) == 1
     assert "first in file order" in t9.iloc[0].text
+
+
+def test_jsonl_chunked_pos(ray_session, tmp_path):
+    """Chunked JSONL parsing keeps _pos = exact line number across chunk
+    boundaries (chunk_rows smaller than the file)."""
+    from pyfuseray.pipeline import _read_jsonl_with_pos
+
+    path = str(tmp_path / "r.jsonl")
+    with open(path, "w") as fh:
+        for i in range(10):
+            fh.write(json.dumps({"id": i, "body": f"doc number {i}"}) + "\n")
+    df = _read_jsonl_with_pos(path, chunk_rows=3).to_pandas()
+    assert sorted(df["_pos"]) == list(range(10))
+    by_pos = df.sort_values("_pos").reset_index(drop=True)
+    assert list(by_pos["id"]) == list(range(10))
