@@ -330,11 +330,20 @@ def plan_ingest_broadcast(narrow: rd.Dataset) -> IngestPlan:
         else pa.table({"url": pa.array([], pa.string()),
                        "warc_ts": pa.array([], pa.int64())})
     )
-    urls_b = _utf8_fixed_width(meta_tbl.column("url"))
-    ts_np = meta_tbl.column("warc_ts").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ts_np, urls_b))
-    urls_sorted = urls_b[order]
-    ts_sorted = ts_np[order]
+    import pyarrow.compute as pc
+
+    # multi-threaded Arrow sort (binary == codepoint == byte order for
+    # UTF-8), then ONE fixed-width conversion of the already-sorted
+    # column — np.lexsort over the byte matrix was single-core and
+    # showed up as driver time at 5M+ urls. Ties beyond (url, warc_ts)
+    # are resolved by the ambiguous-set path, so deeper order is free.
+    order = pc.sort_indices(
+        meta_tbl,
+        sort_keys=[("url", "ascending"), ("warc_ts", "ascending")],
+    )
+    sorted_tbl = meta_tbl.take(order)
+    urls_sorted = _utf8_fixed_width(sorted_tbl.column("url"))
+    ts_sorted = sorted_tbl.column("warc_ts").to_numpy(zero_copy_only=False)
     first_mask = np.concatenate(([True], urls_sorted[1:] != urls_sorted[:-1]))
     unique_urls = urls_sorted[first_mask]
     n = int(unique_urls.size)
