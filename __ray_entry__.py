@@ -348,6 +348,39 @@ def _q_quality(sf_dir: str):
     return quality_scores(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_quality_filter_by_lang(sf_dir: str):
+    """Per-language quality-floor curation: keep documents whose quality
+    score is >= their language's median (discrete 0.5-quantile), so a
+    single global cutoff cannot starve a low-resource language. Two
+    streaming passes (bounded (lang, quality) histogram aggregate ->
+    |langs|-sized broadcast threshold filter; no corpus shuffle —
+    pyfuseray/extras/quantiles.py). The threshold is an actual data
+    value (quantile_disc), so the >= comparison is bit-exact vs the
+    oracle."""
+    import pyarrow as pa
+
+    from pyfuseray.extras.quantiles import filter_by_group_quantile
+    from pyfuseray.extras.textstats import quality_stage
+
+    def with_lang(batch: pa.Table) -> pa.Table:
+        return quality_stage(batch).append_column(
+            "lang", batch.column("lang")
+        )
+
+    scored = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "lang", "text"])
+        .map_batches(with_lang, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "quality"])
+    )
+    kept = filter_by_group_quantile(
+        scored, group_col="lang", value_col="quality", q=0.5
+    )
+    df = kept.to_pandas()
+    df["lang"] = df["lang"].astype(str)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 TFIDF_SQL_QUERY_TERMS = ["fast", "scan", "merge", "batch"]
 
 
@@ -1607,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "fingerprints": _q_fingerprints,
         "quality_score": _q_quality,
+        "quality_filter_by_lang": _q_quality_filter_by_lang,
         "tfidf_topk_unstemmed": _q_tfidf_topk_unstemmed,
         "like_relational": _q_like_relational,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -2491,6 +2525,29 @@ def oracle_sql() -> dict[str, str]:
                    round(dr, 6) AS digit_ratio,
                    round(least(1.0, n_tokens / 100.0) * (1.0 - dr), 6) AS quality
             FROM raw
+        """,
+        # per-language quality-floor filter: keep docs at/above their
+        # language's MEDIAN quality. quantile_disc (not _cont) so the
+        # threshold is a real data value — the >= filter cannot drift
+        # by an interpolation ulp between numpy and DuckDB.
+        "quality_filter_by_lang": f"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       round(least(1.0, CAST(len({_TOK}) AS BIGINT) / 100.0)
+                             * (1.0 - CASE WHEN len(text) > 0
+                                   THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                        / len(text)
+                                   ELSE 0.0 END), 6) AS quality
+                FROM documents
+            ),
+            th AS (
+                SELECT lang, quantile_disc(quality, 0.5) AS thr
+                FROM s GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.quality
+            FROM s JOIN th ON s.lang = th.lang
+            WHERE s.quality >= th.thr
+            ORDER BY s.doc_id
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal

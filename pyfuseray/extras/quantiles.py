@@ -32,16 +32,13 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 
-def grouped_quantiles(
-    ds: rd.Dataset,
-    *,
-    group_col: str,
-    value_col: str,
-    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+def _group_value_histogram(
+    ds: rd.Dataset, group_col: str, value_col: str
 ) -> pd.DataFrame:
-    """Exact per-group quantiles of ``value_col``. Returns a DataFrame
-    with one row per group: (group_col, q{25}, q{50}, ...), float64.
-    """
+    """(group, value, n) histogram — the lossless sufficient statistic
+    for per-group order statistics. Map-side partial counts collapse
+    corpus-sized input to histogram-sized state; one hash-aggregate
+    merge; only the bounded histogram reaches the driver."""
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.column(group_col)
@@ -76,7 +73,20 @@ def grouped_quantiles(
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-    hist = hist.sort_values([group_col, "value"], kind="stable")
+    return hist.sort_values([group_col, "value"], kind="stable")
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> pd.DataFrame:
+    """Exact per-group quantiles of ``value_col``. Returns a DataFrame
+    with one row per group: (group_col, q{25}, q{50}, ...), float64.
+    """
+    hist = _group_value_histogram(ds, group_col, value_col)
 
     out_rows: list[dict] = []
     for gval, sub in hist.groupby(group_col, sort=True):
@@ -96,3 +106,70 @@ def grouped_quantiles(
             row[f"q{int(round(q * 100))}"] = lo_v + (p - lo_rank) * (hi_v - lo_v)
         out_rows.append(row)
     return pd.DataFrame(out_rows)
+
+
+def group_quantile_thresholds(
+    ds: rd.Dataset, *, group_col: str, value_col: str, q: float
+) -> pd.DataFrame:
+    """Exact per-group DISCRETE quantile: the element at 0-based rank
+    ``max(ceil(q*n) - 1, 0)`` of the group's sorted value multiset —
+    DuckDB ``quantile_disc`` semantics. Discrete means the threshold is
+    an actual data value (no interpolation), so a ``>= threshold``
+    filter downstream is bit-exact against the SQL oracle: both sides
+    compare each row's value to the same float64 bit pattern.
+
+    Returns a small DataFrame (group_col, threshold) — |groups| rows,
+    broadcastable; built from the same bounded histogram as
+    ``grouped_quantiles`` (corpus rows never reach the driver)."""
+    hist = _group_value_histogram(ds, group_col, value_col)
+    out_rows: list[dict] = []
+    for gval, sub in hist.groupby(group_col, sort=True):
+        v = sub["value"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(sub["n"].to_numpy(dtype=np.int64))
+        n_total = int(cum[-1])
+        rank = max(int(np.ceil(q * n_total)) - 1, 0)
+        thr = v[np.searchsorted(cum, rank, side="right")]
+        out_rows.append({group_col: gval, "threshold": float(thr)})
+    return pd.DataFrame(out_rows)
+
+
+def filter_by_group_quantile(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    q: float,
+) -> rd.Dataset:
+    """Keep rows whose ``value_col`` is >= their group's q-th discrete
+    quantile (per-language quality-floor curation: e.g. q=0.5 keeps the
+    upper half of each language by quality, so no language is starved
+    by a global threshold).
+
+    100-TB shape: two streaming passes — (1) the histogram aggregate
+    (bounded state, above), (2) a map_batches filter with the
+    |groups|-sized threshold table captured in the closure (broadcast
+    once per worker by Ray's task serialization, never per batch, never
+    a shuffle of the corpus). Ties at the threshold are kept on both
+    routes by the >= rule; no float drift because the threshold is a
+    data value (see group_quantile_thresholds)."""
+    th = group_quantile_thresholds(
+        ds, group_col=group_col, value_col=value_col, q=q
+    )
+    thr_map = dict(zip(th[group_col].tolist(), th["threshold"].tolist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        codes = batch.column(group_col).combine_chunks().dictionary_encode()
+        # per-distinct-group threshold, fanned out via the dictionary
+        # indices (vectorized; groups seen here always exist in thr_map
+        # because the thresholds came from the same dataset)
+        per_dict = np.array(
+            [thr_map[g] for g in codes.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        gi = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(v >= per_dict[gi]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
