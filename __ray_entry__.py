@@ -381,6 +381,26 @@ def _q_quality_filter_by_lang(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_chunk_windows(sf_dir: str):
+    """Sliding-window token chunking (RAG/embedding context prep):
+    explode each document into overlapping 32-token windows advanced by
+    24 — one streaming map_batches, no shuffle
+    (pyfuseray/extras/chunking.py). Oracle: range() starts +
+    list_slice/array_to_string over the same simple-token arrays."""
+    from pyfuseray.extras.chunking import chunk_token_windows
+
+    out = chunk_token_windows(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        window=32,
+        stride=24,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
 TFIDF_SQL_QUERY_TERMS = ["fast", "scan", "merge", "batch"]
 
 
@@ -1641,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "quality_score": _q_quality,
         "quality_filter_by_lang": _q_quality_filter_by_lang,
+        "chunk_windows": _q_chunk_windows,
         "tfidf_topk_unstemmed": _q_tfidf_topk_unstemmed,
         "like_relational": _q_like_relational,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -2525,6 +2546,30 @@ def oracle_sql() -> dict[str, str]:
                    round(dr, 6) AS digit_ratio,
                    round(least(1.0, n_tokens / 100.0) * (1.0 - dr), 6) AS quality
             FROM raw
+        """,
+        # sliding-window token chunking: window starts are
+        # range(0, n_tokens, stride) (docs with zero tokens emit no
+        # chunks); 1-based inclusive list slicing reproduces
+        # toks[s : s+window]; chunk text joins the slice with ' '
+        "chunk_windows": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS ts FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, ts,
+                       unnest(range(0, len(ts), 24)) AS tok_start
+                FROM toks WHERE len(ts) > 0
+            )
+            SELECT doc_id,
+                   tok_start // 24 AS chunk_idx,
+                   tok_start,
+                   len(list_slice(ts, tok_start + 1, tok_start + 32))
+                       AS n_tokens,
+                   array_to_string(
+                       list_slice(ts, tok_start + 1, tok_start + 32), ' '
+                   ) AS chunk_text
+            FROM starts
+            ORDER BY doc_id, chunk_idx
         """,
         # per-language quality-floor filter: keep docs at/above their
         # language's MEDIAN quality. quantile_disc (not _cont) so the
