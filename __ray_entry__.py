@@ -1627,6 +1627,20 @@ def _q_shuffle_shards(sf_dir: str):
     return shuffle_assign(docs, 16, seed=7).to_pandas()
 
 
+def _q_vocab_size_hll(sf_dir: str):
+    """One-pass HyperLogLog vocabulary-size estimate (no term shuffle,
+    O(2^p) driver state, pyfuseray/extras/hll.py) — the shuffle-free
+    tier next to the exact df-table distinct count. Approximate by
+    design, so rows-only at the driver; the ~1.6% (p=12) error bound,
+    merge associativity and linear-counting regime are pinned by
+    tests/test_hll.py."""
+    from pyfuseray.extras.hll import vocabulary_size_hll
+
+    return vocabulary_size_hll(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def _q_heavy_hitters_sketch(sf_dir: str):
     """Single-pass approximate heavy hitters (Count-Min sketch +
     pigeonhole candidates, pyfuseray/extras/sketch.py) — the
@@ -1715,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_like_select": _q_sql_like_select,
         "bulk_search_bm25": _q_bulk_search_bm25,
         "heavy_hitters_sketch": _q_heavy_hitters_sketch,
+        "vocab_size_hll": _q_vocab_size_hll,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "knn_graph_full": _q_knn_graph_full,
