@@ -185,7 +185,7 @@ def build_index(
     tokenizer_batch_size: int = 4096,
     tokenizer_concurrency: int | tuple[int, int] | None = None,
     block_size: int | None = None,
-    bucket_parallelism: int = 4,
+    bucket_parallelism: int | None = None,
     overwrite: bool = False,
     analyzer: str = "reference",
     corpus_sorted: bool = False,
@@ -475,7 +475,15 @@ def build_index(
                     n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
                     block_size=block_size, bucket=k,
                 )
-                seg.sort("term").write_parquet(
+                # per-BLOCK term sort, same as the fresh-build route: a
+                # bucket-global sort("term") is a second all-to-all over
+                # every posting right after the merge shuffle, and the
+                # searcher's pruning is parquet row-group statistics
+                # within each file — block order suffices
+                seg.map_batches(
+                    _sort_block_by_term, batch_format="pyarrow",
+                    batch_size=None,
+                ).write_parquet(
                     segments_dir, partition_cols=["bucket"],
                     # same layout as the fresh-build write above
                     max_rows_per_file=4096, row_group_size=256,
@@ -499,6 +507,14 @@ def build_index(
                 m.mark_bucket(entry)
                 save_manifest(out_dir, m)
 
+        if bucket_parallelism is None:
+            # one bucket pipeline (read -> coarse groupby -> encode ->
+            # write) cannot feed a big node alone; ncpu/4 concurrent
+            # buckets keep it busy (measured: 4 fixed left 42% idle at
+            # 32 CPUs on the 5.3M-page XL leg — stage C was 2 waves of
+            # 4 buckets instead of one wave of 8)
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            bucket_parallelism = max(4, ncpu // 4)
         with ThreadPoolExecutor(max_workers=min(bucket_parallelism, len(todo))) as pool:
             for fut in [pool.submit(_build_bucket, k) for k in todo]:
                 fut.result()
