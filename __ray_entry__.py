@@ -381,6 +381,49 @@ def _q_quality_filter_by_lang(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_moving_avg_events(sf_dir: str):
+    """Per-user trailing 7-row moving average of event value ordered by
+    (ts, event_id) — ONE coarse-bucket shuffle (md5(user) % 512,
+    bounded group count) then fully vectorized windowed cumsum
+    differences (pyfuseray/extras/window.py). Integer-cents scaling
+    keeps window sums exact, so the single float division matches
+    DuckDB bit-for-bit. Oracle: AVG-equivalent SUM/COUNT OVER a ROWS
+    frame."""
+    import ray.data as rd
+
+    from pyfuseray.extras.window import grouped_moving_avg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    out = grouped_moving_avg(
+        ev,
+        group_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="value",
+        window_rows=7,
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def _q_docs_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): one Ray hash aggregate at the
+    finest level (the only corpus pass), coarser levels re-aggregated
+    from the bounded finest table on the driver — additive int64
+    aggregates roll up exactly (pyfuseray/extras/rollup.py). Rolled-up
+    key positions carry the '(all)' sentinel, COALESCE'd identically in
+    the oracle."""
+    from pyfuseray.extras.rollup import rollup_counts_sums
+
+    return rollup_counts_sums(
+        _docs(sf_dir).select_columns(["lang", "source", "n_chars"]),
+        keys=["lang", "source"],
+        sum_col="n_chars",
+    )
+
+
 def _q_chunk_windows(sf_dir: str):
     """Sliding-window token chunking (RAG/embedding context prep):
     explode each document into overlapping 32-token windows advanced by
@@ -1676,6 +1719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "quality_filter_by_lang": _q_quality_filter_by_lang,
         "chunk_windows": _q_chunk_windows,
+        "docs_rollup_lang_source": _q_docs_rollup,
+        "moving_avg_events": _q_moving_avg_events,
         "tfidf_topk_unstemmed": _q_tfidf_topk_unstemmed,
         "like_relational": _q_like_relational,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -2561,6 +2606,31 @@ def oracle_sql() -> dict[str, str]:
                    round(dr, 6) AS digit_ratio,
                    round(least(1.0, n_tokens / 100.0) * (1.0 - dr), 6) AS quality
             FROM raw
+        """,
+        # per-user trailing 7-row moving average; cents scaling makes
+        # the window sums exact integers so sum/(100*cnt) is the same
+        # single float division on both sides
+        "moving_avg_events": """
+            SELECT event_id,
+                   round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                              OVER w AS BIGINT)
+                         / (100.0 * count(*) OVER w), 6) AS mov_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        # ROLLUP: finest level + every prefix + grand total; rolled-up
+        # key positions COALESCE to the '(all)' sentinel (NULL vs NaN
+        # stringify differently in the harness)
+        "docs_rollup_lang_source": """
+            SELECT coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
+                   count(*) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS total
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
+            ORDER BY lang, source, n_rows
         """,
         # sliding-window token chunking: window starts are
         # range(0, n_tokens, stride) (docs with zero tokens emit no
