@@ -187,6 +187,47 @@ def cmd_shuffle(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_chunk(args: argparse.Namespace) -> int:
+    import ray.data as rd
+
+    from pyfuseray.extras.chunking import chunk_token_windows
+
+    _ray_session()
+    docs = rd.read_parquet(args.input)
+    out = chunk_token_windows(docs, window=args.window, stride=args.stride)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "window": args.window,
+                      "stride": args.stride}))
+    return 0
+
+
+def cmd_qfilter(args: argparse.Namespace) -> int:
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyfuseray.extras.quantiles import filter_by_group_quantile
+    from pyfuseray.extras.textstats import quality_stage
+
+    _ray_session()
+    docs = rd.read_parquet(args.input)
+
+    def with_meta(batch: pa.Table) -> pa.Table:
+        out = quality_stage(batch)
+        for c in batch.column_names:
+            if c not in out.column_names:
+                out = out.append_column(c, batch.column(c))
+        return out
+
+    scored = docs.map_batches(with_meta, batch_format="pyarrow")
+    kept = filter_by_group_quantile(
+        scored, group_col=args.group_col, value_col="quality", q=args.q
+    )
+    kept.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "q": args.q,
+                      "group_col": args.group_col}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyfuseray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -260,6 +301,25 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--id-col", default="doc_id")
     w.add_argument("--out", default=None, help="parquet dir (prints if omitted)")
     w.set_defaults(fn=cmd_sample)
+
+    ck = sub.add_parser(
+        "chunk", help="explode docs into sliding token windows (RAG prep)"
+    )
+    ck.add_argument("--input", required=True)
+    ck.add_argument("--out", required=True)
+    ck.add_argument("--window", type=int, default=64)
+    ck.add_argument("--stride", type=int, default=48)
+    ck.set_defaults(fn=cmd_chunk)
+
+    qf = sub.add_parser(
+        "qfilter",
+        help="keep docs at/above their group's quality quantile",
+    )
+    qf.add_argument("--input", required=True)
+    qf.add_argument("--out", required=True)
+    qf.add_argument("--group-col", dest="group_col", default="lang")
+    qf.add_argument("--q", type=float, default=0.5)
+    qf.set_defaults(fn=cmd_qfilter)
 
     h = sub.add_parser(
         "shuffle",
