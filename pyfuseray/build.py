@@ -399,7 +399,14 @@ def build_index(
     # the >gate route is exercised by every resume test).
     todo = [k for k in range(num_buckets) if not m.bucket_done(k)]
     seg_mem: rd.Dataset | None = None
-    if len(todo) == num_buckets and n_docs <= postings_materialize_threshold:
+    if len(todo) == num_buckets:
+        # FRESH build, either side of the materialize gate: ONE groupby
+        # across all buckets — the shuffle parallelizes over every
+        # (tbucket, salt) group at once, where per-bucket pipelines
+        # (the resume path below) fragment it into num_buckets separate
+        # shuffles that contend for the node (measured on the 5.3M-page
+        # XL leg: 8 concurrent bucket pipelines each ~1.9x slower than
+        # one bucket alone — same total, no win).
         t0 = time.perf_counter()
         if os.path.exists(segments_dir):
             shutil.rmtree(segments_dir)  # incomplete previous attempt
@@ -407,39 +414,61 @@ def build_index(
             postings_all, n_docs=n_docs, avgdl=m.avgdl, num_salts=num_salts,
             block_size=block_size,
         )
-        # materialize the segments in the object store: the parquet
-        # write (pure disk) runs on a side thread while the checksum
-        # pass — and stage D below — consume the SAME blocks from
-        # memory instead of re-reading the files just written. Term
-        # order is PER BLOCK (one vectorized sort_by per merge-output
-        # block, no shuffle): the searcher's pruning is parquet
-        # row-group statistics within each file, and a written file
-        # never spans blocks, so a global term sort — a second
+        # Term order is PER BLOCK (one vectorized sort_by per
+        # merge-output block, no shuffle): the searcher's pruning is
+        # parquet row-group statistics within each file, and a written
+        # file never spans blocks, so a global term sort — a second
         # all-to-all over every posting right after the merge shuffle —
         # buys nothing it doesn't.
-        seg_mem = seg.map_batches(
+        sorted_seg = seg.map_batches(
             _sort_block_by_term, batch_format="pyarrow", batch_size=None
-        ).materialize()
-        write_err: list[BaseException] = []
+        )
+        if n_docs <= postings_materialize_threshold:
+            # materialize the segments in the object store: the parquet
+            # write (pure disk) runs on a side thread while the checksum
+            # pass — and stage D below — consume the SAME blocks from
+            # memory instead of re-reading the files just written
+            seg_mem = sorted_seg.materialize()
+            write_err: list[BaseException] = []
 
-        def _write_segments():
-            try:
-                seg_mem.write_parquet(
-                    segments_dir, partition_cols=["bucket"],
-                    # FEW files (reads schedule ~10 tasks, not ~1600) with
-                    # SMALL row groups: term-point lookups still prune via
-                    # parquet row-group statistics inside each file
-                    max_rows_per_file=4096, row_group_size=256,
-                )
-            except BaseException as e:
-                write_err.append(e)
+            def _write_segments():
+                try:
+                    seg_mem.write_parquet(
+                        segments_dir, partition_cols=["bucket"],
+                        # FEW files (reads schedule ~10 tasks, not ~1600)
+                        # with SMALL row groups: term-point lookups still
+                        # prune via parquet row-group statistics inside
+                        # each file
+                        max_rows_per_file=4096, row_group_size=256,
+                    )
+                except BaseException as e:
+                    write_err.append(e)
 
-        writer = threading.Thread(target=_write_segments, daemon=True)
-        writer.start()
-        sums = _segment_checksums(seg_mem)
-        writer.join()
-        if write_err:
-            raise write_err[0]
+            writer = threading.Thread(target=_write_segments, daemon=True)
+            writer.start()
+            sums = _segment_checksums(seg_mem)
+            writer.join()
+            if write_err:
+                raise write_err[0]
+        else:
+            # > gate: stream the partitioned write (segments are
+            # ~2 B/posting — corpus-proportional, never pinned whole in
+            # the object store); the checksum pass runs off the files
+            sorted_seg.write_parquet(
+                segments_dir, partition_cols=["bucket"],
+                max_rows_per_file=4096, row_group_size=256,
+            )
+            os.makedirs(segments_dir, exist_ok=True)  # empty-corpus edge
+            has_files = any(
+                f.endswith(".parquet")
+                for d in os.scandir(segments_dir) if d.is_dir()
+                for f in os.listdir(d.path)
+            )
+            sums = (
+                _segment_checksums(rd.read_parquet(segments_dir))
+                if has_files
+                else {}
+            )
         stage_ms = round((time.perf_counter() - t0) * 1000, 1)
         for k in range(num_buckets):
             part_dir = os.path.join(segments_dir, f"bucket={k}")
