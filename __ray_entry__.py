@@ -510,6 +510,60 @@ def _q_like_relational(sf_dir: str):
     return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")
 
 
+# LIKE patterns for the trigram-index entry: plain substring, an
+# ``_`` single-char wildcard inside a literal, a multi-literal ``%``
+# chain, anchored head+tail, and a no-hit pattern (empty on both sides)
+TRIGRAM_PATTERNS = [
+    "%batch window%",
+    "%b_tch window%",
+    "%batch%window%",
+    "the fast%dup",
+    "%zzqx%",
+]
+
+
+def _ensure_trigram_index(sf_dir: str) -> str:
+    from pyfuseray.extras.trigram import MANIFEST, build_trigram_index
+
+    out = _index_dir_for(sf_dir) + "_trgm"
+    if not os.path.exists(os.path.join(out, MANIFEST)):
+        build_trigram_index(
+            _docs(sf_dir).select_columns(["doc_id", "text"]), out, n_buckets=16
+        )
+    return out
+
+
+def _q_like_trigram(sf_dir: str):
+    """Substring / LIKE search through the character-trigram inverted
+    file (extras/trigram.py — the pg_trgm/GIN role of the reference's
+    Postgres baseline, reference app/PostgresConnector.py, as a native
+    operator): pattern literals -> packed 3-byte grams -> bucket-pruned
+    postings read with a gram isin pushdown -> all-grams candidate
+    intersection -> distributed match_like verify (exact, no false
+    positives/negatives by construction)."""
+    from pyfuseray.extras.trigram import like_search
+
+    ix = _ensure_trigram_index(sf_dir)
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    import numpy as np
+
+    frames = []
+    for pid, pat in enumerate(TRIGRAM_PATTERNS):
+        df = like_search(ix, docs, pat).to_pandas()
+        ids = (
+            np.sort(df["doc_id"].to_numpy(dtype=np.int64))
+            if "doc_id" in df.columns
+            else np.empty(0, dtype=np.int64)
+        )
+        frames.append(
+            pd.DataFrame(
+                {"pattern_id": np.full(ids.size, pid, dtype=np.int64), "doc_id": ids}
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["pattern_id", "doc_id"]).reset_index(drop=True)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     import ray.data as rd
 
@@ -1723,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_events": _q_moving_avg_events,
         "tfidf_topk_unstemmed": _q_tfidf_topk_unstemmed,
         "like_relational": _q_like_relational,
+        "like_trigram": _q_like_trigram,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "simhash": _q_simhash,
@@ -2019,6 +2074,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE lower(text) LIKE '%fast%'
               AND lower(text) LIKE '%scan%'
               AND lower(text) LIKE '%merge%'
+        """,
+        "like_trigram": f"""
+            WITH pats(pattern_id, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(TRIGRAM_PATTERNS))})
+            SELECT pats.pattern_id AS pattern_id, d.doc_id AS doc_id
+            FROM pats JOIN documents d ON d.text LIKE pats.p
+            ORDER BY pattern_id, doc_id
         """,
         "embedding_near_dups": """
             WITH e AS (

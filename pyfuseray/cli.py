@@ -128,6 +128,25 @@ def cmd_suggest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_trgm(args: argparse.Namespace) -> int:
+    """Build / query the trigram substring (LIKE) index."""
+    import ray.data as rd
+
+    from pyfuseray.extras.trigram import build_trigram_index, like_search
+
+    _ray_session()
+    corpus = rd.read_parquet(args.corpus, columns=["doc_id", "text"])
+    if args.pattern is None:
+        build_trigram_index(corpus, args.index, n_buckets=args.buckets)
+        print(f"built {args.index}")
+        return 0
+    df = like_search(args.index, corpus, args.pattern).to_pandas()
+    ids = sorted(df["doc_id"]) if "doc_id" in df.columns else []
+    for i in ids:
+        print(i)
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from pyfuseray.sqlfront import execute_sql
 
@@ -271,6 +290,15 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--k", type=int, default=5)
     g.add_argument("--max-dist", type=int, default=2)
     g.set_defaults(fn=cmd_suggest)
+
+    tg = sub.add_parser(
+        "trgm", help="trigram substring index: build, or LIKE-search with --pattern"
+    )
+    tg.add_argument("--index", required=True)
+    tg.add_argument("--corpus", required=True, help="parquet with doc_id,text")
+    tg.add_argument("--pattern", help="LIKE pattern; omit to build the index")
+    tg.add_argument("--buckets", type=int, default=64)
+    tg.set_defaults(fn=cmd_trgm)
 
     q = sub.add_parser("sql", help="run a mini-SQL query (SELECT ... LIKE ...)")
     q.add_argument("sql")
