@@ -1163,6 +1163,25 @@ def _q_minhash_pairs(sf_dir: str):
     return pd.DataFrame(verified or [], columns=["a", "b"])
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT all-pairs 5-gram-Jaccard similarity self-join (threshold
+    0.4) via All-Pairs prefix filtering (Bayardo et al., WWW'07) — the
+    deterministic member of the near-dup family (no MinHash anywhere:
+    recall 1 by the prefix-filter theorem, precision 1 by the exact
+    verify). Output carries the exact integer gram counts (inter, uni)
+    so the SQL hash-match involves no float rounding at all."""
+    from pyfuseray.extras.dedup import jaccard_similarity_join
+
+    ds = jaccard_similarity_join(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        threshold=0.4, emit_counts=True,
+    )
+    df = ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["a", "b", "inter", "uni"]).astype("int64")
+    return df[["a", "b", "inter", "uni"]]
+
+
 def _q_simhash(sf_dir: str):
     from pyfuseray.extras.dedup import add_simhash
 
@@ -1784,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "minhash_pairs": _q_minhash_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
         "knn_ivf_full": _q_knn_ivf_full,
         "bm25_topk_simple": _q_bm25_topk_simple,
         "bulk_search_bm25_simple": _q_bulk_search_bm25_simple,
@@ -2646,6 +2666,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        """,
+        # EXACT all-pairs 5-gram Jaccard join at threshold 0.4 — same
+        # gram construction as minhash_pairs, but the Ray side is the
+        # deterministic All-Pairs prefix-filter route
+        # (dedup.jaccard_similarity_join), so this is a true equality,
+        # not a recall-happens-to-be-1 pairing. Integer gram counts
+        # (inter, uni) keep float rounding out of the hash entirely.
+        "jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(range(1, len(t) - 3),
+                                                i -> array_to_string(t[i:i+4], ' '))
+                       END AS gs
+                FROM toks WHERE len(t) > 0
+            ),
+            g AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b, i AS inter, (sa.n + sb.n - i) AS uni FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
         """,
         "quality_score": f"""
             WITH raw AS (

@@ -487,12 +487,17 @@ def verify_pairs_jaccard(
     *,
     threshold: float,
     shingle_k: int = 5,
+    emit_counts: bool = False,
 ) -> rd.Dataset:
     """Exact n-gram-Jaccard verification of candidate pairs, fully
     distributed: pair texts arrive via ``join_pair_payloads`` (the
     corpus streams through one semi-join filter pass — no driver
     iteration), then a vectorized-per-batch verify stage computes the
-    exact metric and keeps pairs >= threshold."""
+    exact metric and keeps pairs >= threshold.
+
+    ``emit_counts`` swaps the float ``jaccard`` column for the exact
+    integer gram counts (``inter``, ``uni``) — the rounding-free form a
+    SQL oracle can hash-match."""
     joined = join_pair_payloads(pairs, corpus, id_col="doc_id", payload_col="text")
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -500,20 +505,29 @@ def verify_pairs_jaccard(
         b = batch.column("b").to_pylist()
         ta = batch.column("payload_a").to_pylist()
         tb = batch.column("payload_b").to_pylist()
-        keep_a, keep_b, keep_j = [], [], []
+        keep_a, keep_b, keep_j, keep_i, keep_u = [], [], [], [], []
         for x, y, s, t in zip(a, b, ta, tb):
-            j = ngram_jaccard(s or "", t or "", shingle_k)
+            sa = set(_shingles(s or "", shingle_k).tolist())
+            sb = set(_shingles(t or "", shingle_k).tolist())
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            j = 1.0 if uni == 0 else inter / uni
             if j >= threshold:
                 keep_a.append(x)
                 keep_b.append(y)
                 keep_j.append(round(j, 6))
-        return pa.table(
-            {
-                "a": pa.array(keep_a, pa.int64()),
-                "b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(keep_j, pa.float64()),
-            }
-        )
+                keep_i.append(inter)
+                keep_u.append(uni)
+        cols = {
+            "a": pa.array(keep_a, pa.int64()),
+            "b": pa.array(keep_b, pa.int64()),
+        }
+        if emit_counts:
+            cols["inter"] = pa.array(keep_i, pa.int64())
+            cols["uni"] = pa.array(keep_u, pa.int64())
+        else:
+            cols["jaccard"] = pa.array(keep_j, pa.float64())
+        return pa.table(cols)
 
     return joined.map_batches(verify, batch_format="pyarrow")
 
@@ -722,3 +736,179 @@ def simhash_candidates(
         )
     )
     return _dedup_pairs(pairs)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity self-join (All-Pairs prefix filtering)
+# ---------------------------------------------------------------------------
+#
+# The EXACT member of the near-dup family (vs the probabilistic
+# MinHash-LSH candidates above): every pair with n-gram Jaccard >=
+# threshold is found, none invented. Candidate generation uses the
+# All-Pairs / PPJoin prefix filter (Bayardo, Ma, Srikant, WWW'07;
+# Xiao et al., WWW'08): under a GLOBAL total order on grams
+# (document-frequency ascending, gram value as tie-break), a pair with
+# |a & b| >= alpha must share a gram inside each side's
+# (|x| - alpha + 1)-prefix, and J(a,b) >= t implies
+# |a & b| >= ceil(t * max(|a|, |b|)) >= ceil(t * |x|) for both sides.
+# We use the conservative alpha_x = max(1, floor(t * |x|)) (<= the true
+# bound, so recall can only go UP) to keep float boundary cases out of
+# the exactness argument. Rare grams land in prefixes, so the
+# inverted-index buckets that emit pairs stay small on real text even
+# when boilerplate grams are corpus-frequent.
+#
+# Distributed shape (all shuffles on COARSE buckets, group count
+# bounded): gram rows -> gram-bucket groupby (per-gram df, vectorized
+# reduceat) -> doc-bucket groupby (per-doc df-ascending prefix
+# selection, one lexsort over the whole group) -> gram-bucket groupby
+# (pair emit with overflow markers) -> pair dedup -> distributed exact
+# verify over the pair texts (``verify_pairs_jaccard``). Only the
+# verified pair list is driver-sized.
+
+
+def _gram_doc_bucket(doc_ids: np.ndarray) -> np.ndarray:
+    return (doc_ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+        COARSE_DEDUP_GROUPS
+    )
+
+
+def jaccard_candidate_pairs(
+    ds: rd.Dataset,
+    *,
+    threshold: float,
+    shingle_k: int = 5,
+    max_bucket: int = _MAX_BUCKET,
+) -> rd.Dataset:
+    """(a, b, overflow) candidate pairs (a < b) whose exact ``shingle_k``-gram
+    Jaccard CAN reach ``threshold`` — recall 1 by the prefix-filter
+    theorem (see section comment) unless a bucket overflows
+    ``max_bucket`` (marked, never silent). Precision is left to
+    ``verify_pairs_jaccard``.
+
+    Partitioning assumption: none on the input; every stage keys on a
+    coarse hash bucket it computes itself."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+
+    def gram_stage(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_gram, out_n = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            g = _shingles(text, shingle_k)
+            if g.size == 0:
+                continue
+            out_doc.append(np.full(g.size, doc_id, dtype=np.int64))
+            out_gram.append(g.view(np.int64))
+            out_n.append(np.full(g.size, g.size, dtype=np.int64))
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "gram": pa.array(np.concatenate(out_gram), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    def add_gb(batch: pa.Table) -> pa.Table:
+        g = batch.column("gram").to_numpy(zero_copy_only=False).view(np.uint64)
+        gb = (g % np.uint64(COARSE_DEDUP_GROUPS)).astype(np.int64)
+        return batch.append_column("_gb", pa.array(gb, pa.int64()))
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        g = group["gram"].to_numpy()
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        counts = np.diff(np.concatenate((starts, [gs.size])))
+        df = np.empty(g.size, dtype=np.int64)
+        df[order] = np.repeat(counts, counts)
+        return pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].to_numpy(),
+                "gram": g,
+                "n": group["n"].to_numpy(),
+                "df": df,
+            }
+        )
+
+    def add_db(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        db = _gram_doc_bucket(d).astype(np.int64)
+        return batch.append_column("_db", pa.array(db, pa.int64()))
+
+    def prefix_select(group: pd.DataFrame) -> pd.DataFrame:
+        d = group["doc_id"].to_numpy()
+        g = group["gram"].to_numpy()
+        n = group["n"].to_numpy()
+        df = group["df"].to_numpy()
+        # one lexsort for ALL docs in the coarse group: doc, then the
+        # global gram order (df asc, gram asc)
+        order = np.lexsort((g, df, d))
+        d_s, g_s, n_s = d[order], g[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [d_s.size])))
+        rank = np.arange(d_s.size) - np.repeat(starts, seg_len)
+        alpha = np.maximum(np.int64(1), (threshold * n_s).astype(np.int64))
+        keep = rank < (n_s - alpha + 1)
+        return pd.DataFrame({"gram": g_s[keep], "doc_id": d_s[keep]})
+
+    prefix_rows = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(gram_stage, batch_format="pyarrow")
+        .map_batches(add_gb, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(attach_df, batch_format="pandas")
+        .map_batches(add_db, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(prefix_select, batch_format="pandas")
+    )
+    pairs = (
+        prefix_rows.map_batches(add_gb, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(_make_emit_pairs(max_bucket, ["gram"]), batch_format="pandas")
+    )
+    return _dedup_pairs(pairs)
+
+
+def jaccard_similarity_join(
+    ds: rd.Dataset,
+    *,
+    threshold: float,
+    shingle_k: int = 5,
+    max_bucket: int = _MAX_BUCKET,
+    emit_counts: bool = False,
+) -> rd.Dataset:
+    """Exact all-pairs ``shingle_k``-gram Jaccard self-join: every pair
+    (a < b) with J >= threshold, with the exact similarity attached
+    (``jaccard`` float64, or integer ``inter``/``uni`` gram counts when
+    ``emit_counts`` — the integer form is what the SQL contract oracle
+    hash-checks, no float rounding in the comparison at all).
+
+    Exact (recall AND precision 1) as long as no candidate bucket
+    overflows ``max_bucket``; overflow is logged, never silent."""
+    import logging
+
+    cand = jaccard_candidate_pairs(
+        ds, threshold=threshold, shingle_k=shingle_k, max_bucket=max_bucket
+    ).materialize()
+    n_overflow = int(cand.to_pandas()["overflow"].sum()) if cand.count() else 0
+    if n_overflow:
+        logging.getLogger(__name__).warning(
+            "jaccard_similarity_join: %d candidate pairs came from truncated "
+            "buckets (max_bucket=%d) — the join is no longer guaranteed "
+            "exact there",
+            n_overflow, max_bucket,
+        )
+    corpus = ds.select_columns(["doc_id", "text"])
+    return verify_pairs_jaccard(
+        cand, corpus, threshold=threshold, shingle_k=shingle_k,
+        emit_counts=emit_counts,
+    )
