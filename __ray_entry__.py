@@ -1573,6 +1573,60 @@ def _q_phrase_filter_bm25(sf_dir: str):
     return df[["rank", "doc_id", "score"]]
 
 
+def _ensure_positional_index(sf_dir: str) -> str:
+    from pyfuseray.positional import MANIFEST, build_positional_index
+
+    out = _index_dir_for(sf_dir) + "_pos"
+    if not os.path.exists(os.path.join(out, MANIFEST)):
+        build_positional_index(
+            _docs(sf_dir).select_columns(["doc_id", "text"]), out, n_buckets=16
+        )
+    return out
+
+
+def _q_phrase_positional_bm25(sf_dir: str):
+    """TRUE positional phrase query (pyfuseray/positional.py): the
+    match set comes from position-list intersection over the positional
+    sidecar index — no regex, no corpus rescan — then the same BM25
+    ranking as phrase_filter_bm25_simple. The oracle stays the
+    regex-adjacency SQL: token adjacency over the raw [a-z0-9]+ stream
+    is EXACTLY the regex semantics (argument in the module docstring),
+    so this entry hash-checks the positional route end-to-end."""
+    from pyfuseray.positional import phrase_docs
+    from pyfuseray.query import IndexSearcher
+
+    pix = _ensure_positional_index(sf_dir)
+    matched = set(phrase_docs(pix, PHRASE_QUERY).tolist())
+    if not matched:
+        return pd.DataFrame(columns=["rank", "doc_id", "score"])
+    s = IndexSearcher(_ensure_simple_index(sf_dir))
+    n_scored = int(s.search_boolean(PHRASE_QUERY, mode="or").size)
+    hits = s.search_bm25(PHRASE_QUERY, top_k=max(n_scored, 1))
+    df = pd.DataFrame(hits, columns=["doc_id", "score"])
+    df = df[df["doc_id"].isin(matched)]
+    df["score"] = df["score"].round(6)
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+    df = df.reset_index(drop=True)
+    df["rank"] = df.index
+    return df[["rank", "doc_id", "score"]]
+
+
+PROXIMITY_TERMS = ["fast", "merge"]
+PROXIMITY_WINDOW = 8
+
+
+def _q_proximity_docs(sf_dir: str):
+    """Unordered proximity query over the positional sidecar: docs where
+    one occurrence of every query term fits in a token window of span
+    <= 8 (max pos - min pos). Oracle: positions via
+    generate_subscripts, 2-term self-join on abs(p_a - p_b)."""
+    from pyfuseray.positional import proximity_docs
+
+    pix = _ensure_positional_index(sf_dir)
+    ids = proximity_docs(pix, PROXIMITY_TERMS, window=PROXIMITY_WINDOW)
+    return pd.DataFrame({"doc_id": ids.astype("int64")})
+
+
 def _q_search_snippets(sf_dir: str):
     """Top-10 BM25 results WITH highlighted snippets
     (pyfuseray/snippets.py): query-term-anchored 80-char windows, the
@@ -1831,6 +1885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spelling_suggest_simple": _q_spelling_suggest,
         "prefix_search_bm25_simple": _q_prefix_search_bm25,
         "phrase_filter_bm25_simple": _q_phrase_filter_bm25,
+        "phrase_positional_bm25_simple": _q_phrase_positional_bm25,
+        "proximity_docs_simple": _q_proximity_docs,
         "search_snippets_simple": _q_search_snippets,
         "mix_sources_to_target": _q_mix_sources,
         "top_bigrams_pmi": _q_top_bigrams_pmi,
@@ -2993,6 +3049,41 @@ def oracle_sql() -> dict[str, str]:
                        ) - 1 AS rank
                 FROM scores s JOIN matched USING (doc_id)
             ) WHERE rank < 10 ORDER BY rank
+        """,
+        # the positional-phrase route must equal the regex-adjacency
+        # semantics (raw-token-stream equivalence, pyfuseray/positional.py)
+        "phrase_positional_bm25_simple": f"""
+            WITH {_BM25_SCORES_CTE.format(qvalues="(0, 'fast'), (0, 'scan')")},
+            matched AS (
+                SELECT doc_id FROM documents
+                WHERE regexp_matches(lower(text), '{PHRASE_REGEX}')
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT s.doc_id, round(s.score, 6) AS score,
+                       row_number() OVER (
+                           ORDER BY round(s.score, 6) DESC, s.doc_id
+                       ) - 1 AS rank
+                FROM scores s JOIN matched USING (doc_id)
+            ) WHERE rank < 10 ORDER BY rank
+        """,
+        # unordered proximity (span <= 8) from generate_subscripts
+        # positions — the SQL mirror of the positional sidecar's
+        # minimal-span sweep for the 2-term case
+        "proximity_docs_simple": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(t) AS tok,
+                       generate_subscripts(t, 1) - 1 AS p
+                FROM toks
+            ),
+            a AS (SELECT doc_id, p FROM pos WHERE tok = 'fast'),
+            b AS (SELECT doc_id, p FROM pos WHERE tok = 'merge')
+            SELECT DISTINCT a.doc_id FROM a JOIN b USING (doc_id)
+            WHERE abs(a.p - b.p) <= 8
+            ORDER BY doc_id
         """,
         # decontamination: distinct shared 5-grams between the train and
         # eval splits; gram construction identical to minhash_pairs'

@@ -147,6 +147,31 @@ def cmd_trgm(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_phrase(args: argparse.Namespace) -> int:
+    """Build / query the positional sidecar (phrase + proximity)."""
+    import ray.data as rd
+
+    from pyfuseray.positional import (
+        build_positional_index,
+        phrase_docs,
+        proximity_docs,
+    )
+
+    _ray_session()
+    if args.build:
+        corpus = rd.read_parquet(args.corpus, columns=["doc_id", "text"])
+        build_positional_index(corpus, args.index, n_buckets=args.buckets)
+        print(f"built {args.index}")
+        return 0
+    if args.near is not None:
+        ids = proximity_docs(args.index, args.query.split(), window=args.near)
+    else:
+        ids = phrase_docs(args.index, args.query)
+    for i in ids.tolist():
+        print(i)
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from pyfuseray.sqlfront import execute_sql
 
@@ -299,6 +324,21 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--pattern", help="LIKE pattern; omit to build the index")
     tg.add_argument("--buckets", type=int, default=64)
     tg.set_defaults(fn=cmd_trgm)
+
+    ph = sub.add_parser(
+        "phrase",
+        help="positional sidecar: --build, phrase query, or --near W proximity",
+    )
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--corpus", help="parquet with doc_id,text (build only)")
+    ph.add_argument("--build", action="store_true", help="build the sidecar")
+    ph.add_argument("query", nargs="?", default="")
+    ph.add_argument(
+        "--near", type=int, default=None,
+        help="unordered proximity: max token span (omit for exact phrase)",
+    )
+    ph.add_argument("--buckets", type=int, default=64)
+    ph.set_defaults(fn=cmd_phrase)
 
     q = sub.add_parser("sql", help="run a mini-SQL query (SELECT ... LIKE ...)")
     q.add_argument("sql")
