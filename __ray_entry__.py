@@ -1182,6 +1182,18 @@ def _q_jaccard_pairs(sf_dir: str):
     return df[["a", "b", "inter", "uni"]]
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """Unigram-LM perplexity per doc (CCNet-style curation signal,
+    extras/lm.py): Laplace-smoothed p(w) = (cf+1)/(N+V) trained on the
+    corpus itself (one coarse-bucket count shuffle, vocabulary-sized
+    broadcast), then a shuffle-free streaming scoring pass. Every
+    quantity is an integer aggregate + one float formula, so the SQL
+    oracle replicates it exactly."""
+    from pyfuseray.extras.lm import lm_perplexity
+
+    return lm_perplexity(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_simhash(sf_dir: str):
     from pyfuseray.extras.dedup import add_simhash
 
@@ -1858,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "minhash_pairs": _q_minhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "lm_perplexity": _q_lm_perplexity,
         "knn_ivf_full": _q_knn_ivf_full,
         "bm25_topk_simple": _q_bm25_topk_simple,
         "bulk_search_bm25_simple": _q_bulk_search_bm25_simple,
@@ -2753,6 +2766,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        """,
+        # Laplace-smoothed unigram-LM cross-entropy/perplexity: integer
+        # cf/N/V/tf aggregates + one float formula, replicated verbatim
+        "lm_perplexity": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+            cf AS (SELECT w, count(*) AS cf FROM tok GROUP BY w),
+            consts AS (
+                SELECT (SELECT count(*) FROM tok) AS N,
+                       (SELECT count(*) FROM cf) AS V
+            ),
+            s AS (
+                SELECT doc_id,
+                       SUM(tf * ln((cf + 1.0) / (N + V))) AS lp,
+                       CAST(SUM(tf) AS BIGINT) AS n
+                FROM tf JOIN cf USING (w), consts
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n AS n_tokens,
+                   round(-lp / n, 6) AS cross_entropy,
+                   round(exp(-lp / n), 4) AS ppl
+            FROM s ORDER BY doc_id
         """,
         "quality_score": f"""
             WITH raw AS (
