@@ -601,6 +601,30 @@ def _q_simhash_pairs(sf_dir: str):
     return out.select_columns(["a", "b"])
 
 
+def _q_dup_graph_degree_hist(sf_dir: str):
+    """Degree histogram of the SimHash candidate-pair graph — graph
+    analytics over the (hash-checked) pair stage; all-int64 output."""
+    from pyfuseray.extras.dedup import simhash_candidates
+    from pyfuseray.extras.graphstats import degree_histogram
+
+    pairs = simhash_candidates(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n_blocks=4
+    )
+    return degree_histogram(pairs)
+
+
+def _q_dup_graph_triangles(sf_dir: str):
+    """(n_nodes, n_edges, n_triangles) of the SimHash pair graph via
+    the distributed node-iterator++ wedge join (extras/graphstats.py)."""
+    from pyfuseray.extras.dedup import simhash_candidates
+    from pyfuseray.extras.graphstats import graph_stats
+
+    pairs = simhash_candidates(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n_blocks=4
+    )
+    return graph_stats(pairs)
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_ft_df_stemmed(sf_dir: str):
@@ -1867,6 +1891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "dup_graph_degree_hist": _q_dup_graph_degree_hist,
+        "dup_graph_triangles": _q_dup_graph_triangles,
         "lang_id": _q_lang_id,
         "minhash_pairs": _q_minhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -2000,6 +2026,21 @@ _SIMHASH_CTE = f"""
                CAST(COALESCE(({_SIMHASH_RECON}), 0::HUGEINT)
                     - 9223372036854775808::HUGEINT AS BIGINT) AS simhash
         FROM documents d LEFT JOIN bits USING (doc_id)
+    )
+"""
+
+# SimHash pair graph as a reusable CTE tail (edges = hamming<=3 band
+# candidates, a < b, distinct by construction of the single join)
+_SIMHASH_EDGES_CTE = """
+    u AS (SELECT doc_id, CAST(simhash + 9223372036854775808::HUGEINT
+                              AS UBIGINT) AS hv FROM sh),
+    edges AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM u a JOIN u b ON a.doc_id < b.doc_id
+        WHERE ((a.hv >> 0)  & 65535 = (b.hv >> 0)  & 65535)
+           OR ((a.hv >> 16) & 65535 = (b.hv >> 16) & 65535)
+           OR ((a.hv >> 32) & 65535 = (b.hv >> 32) & 65535)
+           OR ((a.hv >> 48) & 65535 = (b.hv >> 48) & 65535)
     )
 """
 
@@ -2205,6 +2246,34 @@ def oracle_sql() -> dict[str, str]:
                OR ((a.hv >> 16) & 65535 = (b.hv >> 16) & 65535)
                OR ((a.hv >> 32) & 65535 = (b.hv >> 32) & 65535)
                OR ((a.hv >> 48) & 65535 = (b.hv >> 48) & 65535)
+        """,
+        "dup_graph_degree_hist": f"""
+            WITH {_SIMHASH_CTE},
+            {_SIMHASH_EDGES_CTE},
+            deg AS (
+                SELECT node, COUNT(*) AS degree FROM (
+                    SELECT a AS node FROM edges
+                    UNION ALL SELECT b AS node FROM edges
+                ) GROUP BY node
+            )
+            SELECT degree, COUNT(*) AS n_nodes
+            FROM deg GROUP BY degree ORDER BY degree
+        """,
+        "dup_graph_triangles": f"""
+            WITH {_SIMHASH_CTE},
+            {_SIMHASH_EDGES_CTE}
+            SELECT
+                (SELECT COUNT(*) FROM (
+                    SELECT DISTINCT node FROM (
+                        SELECT a AS node FROM edges
+                        UNION ALL SELECT b AS node FROM edges
+                    )
+                )) AS n_nodes,
+                (SELECT COUNT(*) FROM edges) AS n_edges,
+                (SELECT COUNT(*) FROM edges e1
+                   JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+                   JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+                ) AS n_triangles
         """,
         "lang_id": f"""
             WITH t AS (
