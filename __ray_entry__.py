@@ -625,6 +625,22 @@ def _q_dup_graph_triangles(sf_dir: str):
     return graph_stats(pairs)
 
 
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram of the SimHash dup clusters (singletons
+    included) — the summary a curation run reports; two coarse-bucket
+    count shuffles over the components labeling."""
+    from pyfuseray.extras.components import connected_components
+    from pyfuseray.extras.dedup import simhash_candidates
+    from pyfuseray.extras.graphstats import cluster_size_histogram
+
+    docs = _docs(sf_dir)
+    pairs = simhash_candidates(
+        docs.select_columns(["doc_id", "text"]), n_blocks=4
+    ).select_columns(["a", "b"])
+    labels = connected_components(pairs, nodes=docs.select_columns(["doc_id"]))
+    return cluster_size_histogram(labels)
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_ft_df_stemmed(sf_dir: str):
@@ -1893,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "dup_graph_degree_hist": _q_dup_graph_degree_hist,
         "dup_graph_triangles": _q_dup_graph_triangles,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "lang_id": _q_lang_id,
         "minhash_pairs": _q_minhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -2460,6 +2477,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS doc_id, min(m) AS cluster_id
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        # cluster-size histogram over the same reachability fixpoint
+        "dup_cluster_sizes": f"""
+            WITH RECURSIVE {_SIMHASH_CTE},
+            u AS (SELECT doc_id, CAST(simhash + 9223372036854775808::HUGEINT
+                                      AS UBIGINT) AS hv FROM sh),
+            prs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM u a JOIN u b ON a.doc_id < b.doc_id
+                WHERE ((a.hv >> 0)  & 65535 = (b.hv >> 0)  & 65535)
+                   OR ((a.hv >> 16) & 65535 = (b.hv >> 16) & 65535)
+                   OR ((a.hv >> 32) & 65535 = (b.hv >> 32) & 65535)
+                   OR ((a.hv >> 48) & 65535 = (b.hv >> 48) & 65535)
+            ),
+            e AS (SELECT a AS s, b AS d FROM prs
+                  UNION ALL SELECT b, a FROM prs),
+            reach(n, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN e ON r.m = e.s
+            ),
+            clus AS (SELECT n AS doc_id, min(m) AS cluster_id
+                     FROM reach GROUP BY n),
+            sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                   FROM clus GROUP BY cluster_id)
+            SELECT cluster_size, COUNT(*) AS n_clusters
+            FROM sz GROUP BY cluster_size ORDER BY cluster_size
         """,
         # keep-canonical: survivors are docs whose component min is
         # themselves (same reachability CTE as dup_clusters_simhash)

@@ -125,6 +125,41 @@ def degree_histogram(
     )
 
 
+def value_counts(ds: rd.Dataset, col: str, out_value: str, out_count: str) -> rd.Dataset:
+    """(value, count) over one int64 column — ONE coarse-bucket shuffle
+    (same-value rows co-locate by ``_cb(value)``), np.unique per group."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"_cb": pa.array(_cb(v)), "v": pa.array(v)})
+
+    def count(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {out_value: pa.array(u, pa.int64()),
+             out_count: pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(count, batch_format="pyarrow")
+    )
+
+
+def cluster_size_histogram(labels: rd.Dataset, label_col: str = "label") -> rd.Dataset:
+    """(cluster_size, n_clusters) from a (node, label) component
+    labeling (extras/components.connected_components output) —
+    singleton clusters included. Two coarse-bucket shuffles, first over
+    node-count-sized rows, second over cluster-count-sized rows; the
+    final sort moves a histogram."""
+    sizes = value_counts(labels, label_col, "cluster_id", "cluster_size")
+    return value_counts(sizes, "cluster_size", "cluster_size", "n_clusters").sort(
+        "cluster_size"
+    )
+
+
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 

@@ -93,6 +93,23 @@ def test_graph_stats_row_and_empty():
     assert degree_table(empty).count() == 0
 
 
+def test_cluster_size_histogram():
+    from pyfuseray.extras.graphstats import cluster_size_histogram
+
+    # labels: cluster 1 has 3 nodes, cluster 10 has 3 nodes, three singletons
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(list(range(9)), pa.int64()),
+                "label": pa.array([1, 1, 1, 10, 10, 10, 7, 8, 9], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    h = cluster_size_histogram(labels).to_pandas()
+    assert list(h["cluster_size"]) == [1, 3]
+    assert list(h["n_clusters"]) == [3, 2]
+
+
 def test_batching_independence():
     rng = np.random.default_rng(7)
     edges = _rand_graph(rng, 60, 300)
