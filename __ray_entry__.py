@@ -641,6 +641,23 @@ def _q_dup_cluster_sizes(sf_dir: str):
     return cluster_size_histogram(labels)
 
 
+def _q_pagerank_dup_graph(sf_dir: str):
+    """Integer fixed-point PageRank (3 rounds, damping 85/100, scale
+    1e12) over the SimHash pair graph with every document as a node —
+    all arithmetic is int64 floor division, so the unrolled-CTE DuckDB
+    oracle matches bit-for-bit (extras/pagerank.py)."""
+    from pyfuseray.extras.dedup import simhash_candidates
+    from pyfuseray.extras.pagerank import pagerank_int
+
+    docs = _docs(sf_dir)
+    pairs = simhash_candidates(
+        docs.select_columns(["doc_id", "text"]), n_blocks=4
+    ).select_columns(["a", "b"])
+    out = pagerank_int(pairs, docs.select_columns(["doc_id"]), iters=3)
+    df = out.to_pandas().rename(columns={"node": "doc_id"})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q_ft_df_stemmed(sf_dir: str):
@@ -1910,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_degree_hist": _q_dup_graph_degree_hist,
         "dup_graph_triangles": _q_dup_graph_triangles,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "pagerank_dup_graph": _q_pagerank_dup_graph,
         "lang_id": _q_lang_id,
         "minhash_pairs": _q_minhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -2060,6 +2078,47 @@ _SIMHASH_EDGES_CTE = """
            OR ((a.hv >> 48) & 65535 = (b.hv >> 48) & 65535)
     )
 """
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**12,
+                  num: int = 85, den: int = 100) -> str:
+    """Unrolled integer fixed-point PageRank over the SimHash edge CTE
+    (mirrors extras/pagerank.pagerank_int step for step — same floor
+    divisions, so the hash comparison is exact)."""
+    parts = [f"""
+        WITH {_SIMHASH_CTE},
+        {_SIMHASH_EDGES_CTE},
+        nd AS (SELECT doc_id AS node FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM nd),
+        dg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+            ) GROUP BY node
+        ),
+        e AS (SELECT a AS s, b AS t FROM edges
+              UNION ALL SELECT b, a FROM edges),
+        st AS (SELECT nd.node, COALESCE(dg.d, 0) AS d
+               FROM nd LEFT JOIN dg USING (node)),
+        pr0 AS (SELECT node, d, {scale} // (SELECT n FROM nn) AS pr FROM st)"""]
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+        recv{k} AS (
+            SELECT e.t AS node,
+                   SUM(p.pr // (CASE WHEN p.d < 1 THEN 1 ELSE p.d END)) AS r
+            FROM e JOIN {prev} p ON p.node = e.s GROUP BY e.t
+        ),
+        pr{k} AS (
+            SELECT s.node, s.d,
+                   CAST((({scale} * {den - num}) // {den})
+                            // (SELECT n FROM nn)
+                        + ({num} * COALESCE(r.r, 0)) // {den} AS BIGINT) AS pr
+            FROM st s LEFT JOIN recv{k} r USING (node)
+        )""")
+        prev = f"pr{k}"
+    parts.append(f"""
+        SELECT node AS doc_id, pr FROM {prev} ORDER BY doc_id""")
+    return "".join(parts)
+
 
 # language-ID marker sets (mirror pyfuseray.extras.textstats._LANG_MARKERS)
 _LANG_SQL_MARKERS = {
@@ -2505,6 +2564,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_size, COUNT(*) AS n_clusters
             FROM sz GROUP BY cluster_size ORDER BY cluster_size
         """,
+        # integer fixed-point PageRank — see _pagerank_sql
+        "pagerank_dup_graph": _pagerank_sql(iters=3),
         # keep-canonical: survivors are docs whose component min is
         # themselves (same reachability CTE as dup_clusters_simhash)
         "dedup_canonical_simhash": f"""
