@@ -271,6 +271,9 @@ def run_bench() -> dict:
         os.path.join(f"/tmp/pyfuseray_bench_corpus_{num_cpus}", "corpus"), num_cpus
     )
 
+    # -- graph analytics throughput ------------------------------------------
+    graph_stats = _bench_graph(num_cpus)
+
     result = {
         "metric": "pages index build wall time (ingest+tokenize+shuffle+segments+stats)",
         "value": round(t_build_pages, 3),
@@ -296,6 +299,7 @@ def run_bench() -> dict:
         "tfidf_p50_ms": round(1000 * statistics.median(lat_tfidf), 3),
         "ivf": ivf_stats,
         "dedup": dedup_stats,
+        "graph": graph_stats,
     }
     ray.shutdown()
     return result
@@ -466,6 +470,49 @@ def _bench_dedup(corpus_dir: str, num_cpus: int, rounds: int = 2) -> dict:
     for k, t in best.items():
         out[f"{k}_docs_per_sec"] = round(n / t, 1)
     out["spandedup_chunks_dropped"] = int(cleaned.sum("n_dropped") or 0)
+    return out
+
+
+def _bench_graph(num_cpus: int, rounds: int = 2) -> dict:
+    """Graph-analytics throughput (edges/s) on a seeded random graph:
+    distributed triangle count (node-iterator++ wedge join) and 3-round
+    integer fixed-point PageRank. Same interleaved best-of hygiene as
+    the dedup rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyfuseray.extras.graphstats import triangle_count
+    from pyfuseray.extras.pagerank import pagerank_int
+
+    n_nodes, n_edges = 500_000, 1_000_000
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, n_nodes, n_edges * 2)
+    b = rng.integers(0, n_nodes, n_edges * 2)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    m = lo != hi
+    key = np.unique(lo[m].astype(np.int64) * n_nodes + hi[m])[:n_edges]
+    lo, hi = key // n_nodes, key % n_nodes
+    nb = max(8, 2 * num_cpus)
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64())})
+    ).repartition(nb).materialize()
+    nodes = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n_nodes, dtype=np.int64))})
+    ).repartition(nb).materialize()
+
+    out: dict = {"n_nodes": n_nodes, "n_edges": len(key), "rounds": rounds}
+    best: dict[str, float] = {}
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out["n_triangles"] = triangle_count(edges)
+        best["triangles"] = min(best.get("triangles", 1e9), time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        pagerank_int(edges, nodes, iters=3).count()
+        best["pagerank3"] = min(best.get("pagerank3", 1e9), time.perf_counter() - t0)
+    for k, t in best.items():
+        out[f"{k}_edges_per_sec"] = round(len(key) / t, 1)
+        out[f"{k}_sec"] = round(t, 3)
     return out
 
 

@@ -55,11 +55,19 @@ def pagerank_int(
     scale: int = SCALE,
     damp_num: int = DAMP_NUM,
     damp_den: int = DAMP_DEN,
+    num_blocks: int = 64,
 ) -> rd.Dataset:
     """(node, pr) int64 fixed-point PageRank after ``iters`` rounds.
 
     ``pairs``: distinct undirected edges (a < b); ``nodes``: one row per
     node (isolated nodes included — they keep the teleport rank).
+
+    ``num_blocks`` bounds the block count of every intermediate: each
+    ``map_groups`` emits one block PER COARSE BUCKET (~512), and feeding
+    512 blocks into the next groupby's range shuffle makes block count
+    multiply across iterations (measured 6.7 s for one round but 166 s
+    for three before the coalesce). A narrow ``repartition`` between
+    rounds keeps each iteration's cost flat.
     """
     n = nodes.count()
     if n == 0:
@@ -122,6 +130,7 @@ def pagerank_int(
         .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
         .groupby("_cb")
         .map_groups(join_deg, batch_format="pyarrow")
+        .repartition(num_blocks)
         .materialize()  # node-sized; reused every round
     )
 
@@ -183,6 +192,7 @@ def pagerank_int(
             .union(edges)
             .groupby("_cb")
             .map_groups(contribute, batch_format="pyarrow")
+            .repartition(num_blocks)
         )
 
         def tag_state2(batch: pa.Table) -> pa.Table:
@@ -227,6 +237,7 @@ def pagerank_int(
         state = (
             msgs_plus_state.groupby("_cb2")
             .map_groups(update, batch_format="pyarrow")
+            .repartition(num_blocks)
             .materialize()
         )
 
