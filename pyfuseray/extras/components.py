@@ -41,6 +41,10 @@ import ray.data as rd
 
 COARSE_NODE_GROUPS = 512
 DRIVER_MAX_PAIRS = 5_000_000
+# every map_groups emits ~one block per coarse bucket; iterative rounds
+# must coalesce between shuffles or block count multiplies round over
+# round (measured 20x on 3-round fixed-point PageRank, extras/pagerank.py)
+ITER_BLOCKS = 64
 _M = np.uint64(11400714819323198485)
 
 
@@ -161,8 +165,16 @@ def _round(labels: rd.Dataset, rel: rd.Dataset) -> rd.Dataset:
     merged = labels.map_batches(tag_lab, batch_format="pyarrow").union(
         rel.map_batches(tag_rel, batch_format="pyarrow")
     )
-    msgs = merged.groupby("_cb").map_groups(emit, batch_format="pyarrow")
-    return msgs.groupby("_cb2").map_groups(reduce_min, batch_format="pyarrow")
+    msgs = (
+        merged.groupby("_cb")
+        .map_groups(emit, batch_format="pyarrow")
+        .repartition(ITER_BLOCKS)
+    )
+    return (
+        msgs.groupby("_cb2")
+        .map_groups(reduce_min, batch_format="pyarrow")
+        .repartition(ITER_BLOCKS)
+    )
 
 
 def _distributed_components(
@@ -181,9 +193,12 @@ def _distributed_components(
             }
         )
 
-    labels = seeds.groupby("_cb2").map_groups(
-        dedup_min, batch_format="pyarrow"
-    ).materialize()
+    labels = (
+        seeds.groupby("_cb2")
+        .map_groups(dedup_min, batch_format="pyarrow")
+        .repartition(ITER_BLOCKS)
+        .materialize()
+    )
 
     prev_sum = labels.sum("label")
     for _ in range(max_iters):
