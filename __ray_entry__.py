@@ -1896,7 +1896,12 @@ def _q_heavy_hitters_sketch(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    # Ordering contract: every SQL-hash-checked entry (a key of
+    # oracle_sql()) precedes every rows-only entry, so a driver that
+    # truncates the dict checks the strongest-verified operators first.
+    # Enforced programmatically below (not by dict literal order) so new
+    # entries can't silently break it.
+    d = {
         # SQL-checkable
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
@@ -1985,6 +1990,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_full": _q_knn_graph_full,
         "pca_reduced": _q_pca_reduced,
         "multimodal_features": _q_multimodal_features,
+    }
+    sql_checked = set(oracle_sql())
+    return {k: d[k] for k in d if k in sql_checked} | {
+        k: d[k] for k in d if k not in sql_checked
     }
 
 
