@@ -237,9 +237,26 @@ def run_bench() -> dict:
     # -- actor-resident BM25 tier (doc-range shards, pre-decoded) ----------
     from pyfuseray.resident import ResidentTextSearcher
 
+    from pyfuseray.resident import ensure_resident_layout
+
+    t0 = time.perf_counter()
+    sidecar_dir = ensure_resident_layout(ix_pages)
+    resident_sidecar_build_sec = round(time.perf_counter() - t0, 3)
+    sidecar_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(sidecar_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
     t0 = time.perf_counter()
     res = ResidentTextSearcher(ix_pages, n_shards=8)
     resident_load_sec = round(time.perf_counter() - t0, 3)
+    # range-pruning evidence: the max per-shard read as a fraction of the
+    # sidecar (1/n_shards when perfectly pruned; 1.0 was the r4 'weak')
+    per_shard = [i["load_bytes"] for i in res.load_info()]
+    resident_max_shard_read_frac = round(
+        max(per_shard) / max(1, sidecar_bytes), 3
+    )
     lat_res = []
     try:
         for q in QUERIES:  # warm the RPC path AND pin rank identity
@@ -292,6 +309,8 @@ def run_bench() -> dict:
         "bm25_resident_p50_ms": round(1000 * statistics.median(lat_res), 3),
         "bm25_resident_batch_ms_per_query": resident_batch_ms,
         "resident_text_load_sec": resident_load_sec,
+        "resident_sidecar_build_sec": resident_sidecar_build_sec,
+        "resident_max_shard_read_frac": resident_max_shard_read_frac,
         "bm25_wand_p50_ms": round(1000 * statistics.median(lat_wand), 3),
         "bm25_taat_p50_ms": round(1000 * statistics.median(lat_dense_t), 3),
         "bm25_sel_wand_p50_ms": round(1000 * statistics.median(lat_sel_w), 3),

