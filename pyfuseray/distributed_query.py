@@ -150,10 +150,12 @@ def bulk_search(
             }
         )
 
-    def topk_group(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["query_id"].iloc[0])
-        docs = group["doc_id"].to_numpy()
-        scores = group["partial"].to_numpy(dtype=np.float64)
+    def topk_group(group: pa.Table) -> pa.Table:
+        qid = int(group.column("query_id")[0].as_py())
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        scores = group.column("partial").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
         # combine same-doc contributions from different terms
         order = np.argsort(docs, kind="stable")
         docs, scores = docs[order], scores[order]
@@ -167,12 +169,12 @@ def bulk_search(
                 sums[nz] = sums[nz] / (qn * nrm[nz])
         k = min(top_k, uniq.size)
         idx = np.lexsort((uniq, -sums))[:k]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": qid,
-                "rank": np.arange(k, dtype=np.int64),
-                "doc_id": uniq[idx],
-                "score": sums[idx],
+                "query_id": pa.array(np.full(k, qid, dtype=np.int64)),
+                "rank": pa.array(np.arange(k, dtype=np.int64)),
+                "doc_id": pa.array(uniq[idx], pa.int64()),
+                "score": pa.array(sums[idx], pa.float64()),
             }
         )
 
@@ -196,7 +198,9 @@ def bulk_search(
 
     segments = rd.read_parquet(os.path.join(index_dir, "segments"))
     partials = segments.map_batches(score_stage, batch_format="pyarrow")
-    ranked = partials.groupby("query_id").map_groups(topk_group, batch_format="pandas")
+    ranked = partials.groupby("query_id").map_groups(
+        topk_group, batch_format="pyarrow"
+    )
     out = ranked.to_pandas()
     if out.empty:
         return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
@@ -318,39 +322,43 @@ def _bulk_search_ranged(
             np.ones(n, dtype=np.int8),
         )
 
-    def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        side = group["side"].to_numpy()
-        stats = group[side == 1]
-        parts = group[side == 0]
-        empty = pd.DataFrame(
-            {"query_id": pd.Series(dtype="int64"),
-             "doc_id": pd.Series(dtype="int64"),
-             "partial": pd.Series(dtype="float64"),
-             "norm": pd.Series(dtype="float64")}
-        )
-        if parts.empty:
-            return empty
-        s_ids = stats["doc_id"].to_numpy()
-        s_val = stats["x1"].to_numpy()
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        x1 = group.column("x1").to_numpy(zero_copy_only=False)
+        is_stat = side == 1
+        p_mask = ~is_stat
+        if not p_mask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.float64()),
+                 "norm": pa.array([], pa.float64())}
+            )
+        s_ids = did[is_stat]
+        s_val = x1[is_stat]
         order = np.argsort(s_ids, kind="stable")
         s_ids, s_val = s_ids[order], s_val[order]
-        p_ids = parts["doc_id"].to_numpy()
+        p_ids = did[p_mask]
         pos = np.minimum(np.searchsorted(s_ids, p_ids), max(s_ids.size - 1, 0))
         hit = s_ids[pos] == p_ids if s_ids.size else np.zeros(p_ids.size, bool)
         stat = np.where(hit, s_val[pos] if s_ids.size else 0.0,
                         avgdl if scoring == "bm25" else 1.0)
         if scoring == "bm25":
-            idf = parts["x1"].to_numpy()
-            tfv = parts["x2"].to_numpy()
+            idf = x1[p_mask]
+            tfv = group.column("x2").to_numpy(zero_copy_only=False)[p_mask]
             denom = tfv + k1 * (1.0 - b + b * stat / avgdl)
             partial = idf * tfv * (k1 + 1.0) / denom
             norm = np.ones(p_ids.size)
         else:
-            partial = parts["x1"].to_numpy()
+            partial = x1[p_mask]
             norm = stat
-        return pd.DataFrame(
-            {"query_id": parts["query_id"].to_numpy(), "doc_id": p_ids,
-             "partial": partial, "norm": norm}
+        qids = group.column("query_id").to_numpy(zero_copy_only=False)[p_mask]
+        return pa.table(
+            {"query_id": pa.array(qids, pa.int64()),
+             "doc_id": pa.array(p_ids, pa.int64()),
+             "partial": pa.array(partial, pa.float64()),
+             "norm": pa.array(norm, pa.float64())}
         )
 
     # query norms (tfidf): few terms — point df lookups, driver-side
@@ -372,10 +380,12 @@ def _bulk_search_ranged(
                 total += w * w
         return total
 
-    def topk_group(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["query_id"].iloc[0])
-        docs = group["doc_id"].to_numpy()
-        scores = group["partial"].to_numpy(dtype=np.float64)
+    def topk_group(group: pa.Table) -> pa.Table:
+        qid = int(group.column("query_id")[0].as_py())
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        scores = group.column("partial").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
         order = np.argsort(docs, kind="stable")
         docs, scores = docs[order], scores[order]
         uniq, starts = np.unique(docs, return_index=True)
@@ -383,14 +393,18 @@ def _bulk_search_ranged(
         if scoring == "tfidf":
             qn = math.sqrt(_query_norm2(qid))
             if qn > 0:
-                nrm = group["norm"].to_numpy(dtype=np.float64)[order][starts]
+                nrm = group.column("norm").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)[order][starts]
                 nz = nrm != 0
                 sums[nz] = sums[nz] / (qn * nrm[nz])
         k = min(top_k, uniq.size)
         idx = np.lexsort((uniq, -sums))[:k]
-        return pd.DataFrame(
-            {"query_id": qid, "rank": np.arange(k, dtype=np.int64),
-             "doc_id": uniq[idx], "score": sums[idx]}
+        return pa.table(
+            {"query_id": pa.array(np.full(k, qid, dtype=np.int64)),
+             "rank": pa.array(np.arange(k, dtype=np.int64)),
+             "doc_id": pa.array(uniq[idx], pa.int64()),
+             "score": pa.array(sums[idx], pa.float64())}
         )
 
     segments = rd.read_parquet(os.path.join(index_dir, "segments"))
@@ -402,10 +416,11 @@ def _bulk_search_ranged(
     scored = (
         partials.union(docstats)
         .groupby("_db")
-        .map_groups(join_group, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_groups(join_group, batch_format="pyarrow")
     )
-    ranked = scored.groupby("query_id").map_groups(topk_group, batch_format="pandas")
+    ranked = scored.groupby("query_id").map_groups(
+        topk_group, batch_format="pyarrow"
+    )
     out = ranked.to_pandas()
     if out.empty:
         return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])

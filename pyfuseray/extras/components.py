@@ -98,7 +98,21 @@ def _label_with_map(
 # ----------------------------------------------------------- distributed
 
 
-def _round(labels: rd.Dataset, rel: rd.Dataset) -> rd.Dataset:
+def _iter_blocks(iter_blocks: int | None) -> int:
+    """Coalesce width between iterative shuffles: explicit, else
+    max(ITER_BLOCKS, 2x cluster CPUs) so a bigger cluster is not capped
+    at 64 per-round tasks while small hosts keep the measured default."""
+    if iter_blocks is not None:
+        return max(1, int(iter_blocks))
+    ncpu = (
+        int(ray.cluster_resources().get("CPU", 0))
+        if ray.is_initialized()
+        else 0
+    )
+    return max(ITER_BLOCKS, 2 * ncpu)
+
+
+def _round(labels: rd.Dataset, rel: rd.Dataset, nb: int) -> rd.Dataset:
     """One message round: new lab[x] = min(lab[x], min over lab[src] of
     rel rows (src -> x)). ``rel`` columns: (src, dst)."""
 
@@ -168,18 +182,22 @@ def _round(labels: rd.Dataset, rel: rd.Dataset) -> rd.Dataset:
     msgs = (
         merged.groupby("_cb")
         .map_groups(emit, batch_format="pyarrow")
-        .repartition(ITER_BLOCKS)
+        .repartition(nb)
     )
     return (
         msgs.groupby("_cb2")
         .map_groups(reduce_min, batch_format="pyarrow")
-        .repartition(ITER_BLOCKS)
+        .repartition(nb)
     )
 
 
 def _distributed_components(
-    edges: rd.Dataset, seeds: rd.Dataset, max_iters: int
+    edges: rd.Dataset,
+    seeds: rd.Dataset,
+    max_iters: int,
+    iter_blocks: int | None = None,
 ) -> rd.Dataset:
+    nb = _iter_blocks(iter_blocks)
     def dedup_min(group: pa.Table) -> pa.Table:
         node = group.column("node").to_numpy(zero_copy_only=False)
         label = group.column("label").to_numpy(zero_copy_only=False)
@@ -196,7 +214,7 @@ def _distributed_components(
     labels = (
         seeds.groupby("_cb2")
         .map_groups(dedup_min, batch_format="pyarrow")
-        .repartition(ITER_BLOCKS)
+        .repartition(nb)
         .materialize()
     )
 
@@ -210,7 +228,7 @@ def _distributed_components(
             )
 
         jump_rel = labels.map_batches(as_jump, batch_format="pyarrow")
-        labels = _round(labels, edges.union(jump_rel)).materialize()
+        labels = _round(labels, edges.union(jump_rel), nb).materialize()
         cur = labels.sum("label")
         if cur == prev_sum:
             break
@@ -333,6 +351,7 @@ def connected_components(
     max_iters: int = 64,
     driver_max_pairs: int = DRIVER_MAX_PAIRS,
     mode: str = "auto",
+    iter_blocks: int | None = None,
 ) -> rd.Dataset:
     """(node, label) with label = min node id of the component.
 
@@ -342,7 +361,8 @@ def connected_components(
     contain every pair endpoint (the driver route labels exactly
     ``nodes`` when given, the distributed route labels
     endpoints ∪ nodes). ``mode``: 'auto' (size gate on the pair
-    count), 'driver', or 'distributed'.
+    count), 'driver', or 'distributed'. ``iter_blocks``: coalesce width
+    between the iterative shuffles (None derives max(64, 2x CPUs)).
     """
     pairs = pairs.materialize()
     if mode == "auto":
@@ -397,4 +417,4 @@ def connected_components(
 
         seeds = seeds.union(nodes.map_batches(seed_nodes, batch_format="pyarrow"))
 
-    return _distributed_components(edges, seeds, max_iters)
+    return _distributed_components(edges, seeds, max_iters, iter_blocks)

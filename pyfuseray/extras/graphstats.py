@@ -214,6 +214,10 @@ def triangle_count(
     """Exact global triangle count of the undirected graph given as a
     distinct (a < b) edge list. See module docstring for the shuffle
     shape and the wedge-skew assumption."""
+    # consumed twice (wedge pass + edge-tag pass): pin the edge list so
+    # an expensive upstream (e.g. simhash candidate generation) does not
+    # re-execute per consumer; edges are pair-sized, never the corpus
+    pairs = pairs.materialize()
 
     def tag_edges_by_a(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -274,6 +278,9 @@ def graph_stats(
 ) -> pd.DataFrame:
     """One-row summary (n_nodes, n_edges, n_triangles) — all int64, so
     the DuckDB oracle compares exactly."""
+    # four downstream consumers (count, degree_table, wedge + edge-tag
+    # passes): materialize once so the upstream runs once
+    pairs = pairs.materialize()
     n_edges = pairs.count()
     n_nodes = degree_table(pairs, a_col, b_col).count()
     n_tri = triangle_count(pairs, a_col, b_col)

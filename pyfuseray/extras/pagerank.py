@@ -176,7 +176,20 @@ def pagerank_int(
             keys = keys[order]
             c_of_src = (pr[is_state][order] // np.maximum(dg[is_state][order], 1))
             e_src, e_dst = src[~is_state], dst[~is_state]
-            pos = np.searchsorted(keys, e_src)  # every edge src has state
+            pos = np.searchsorted(keys, e_src)
+            # validate the "every edge endpoint has a state row"
+            # precondition instead of silently reading a neighbor's
+            # contribution (or IndexError only at the array boundary)
+            bad = (pos >= keys.size) | (
+                keys[np.minimum(pos, max(keys.size - 1, 0))] != e_src
+            )
+            if bad.any():
+                missing = np.unique(e_src[bad])[:5]
+                raise ValueError(
+                    "pagerank_int: edge source node(s) absent from the "
+                    f"nodes dataset: {missing.tolist()}... — `nodes` must "
+                    "be a superset of every pair endpoint"
+                )
             contrib = c_of_src[pos]
             return pa.table(
                 {
@@ -221,6 +234,17 @@ def pagerank_int(
                 tgt = dst[~is_state]
                 val = c[~is_state]
                 pos = np.searchsorted(nodes_here, tgt)
+                bad = (pos >= nodes_here.size) | (
+                    nodes_here[np.minimum(pos, max(nodes_here.size - 1, 0))]
+                    != tgt
+                )
+                if bad.any():
+                    missing = np.unique(tgt[bad])[:5]
+                    raise ValueError(
+                        "pagerank_int: edge target node(s) absent from "
+                        f"the nodes dataset: {missing.tolist()}... — "
+                        "`nodes` must be a superset of every pair endpoint"
+                    )
                 np.add.at(recv, pos, val)
             new_pr = tel + (damp_num * recv) // damp_den
             return pa.table(

@@ -288,10 +288,17 @@ def _resumable_write_first(
     TIED duplicate urls are resolved once globally as their own group
     (per-group resolution would keep one survivor per group).
 
-    Stage B: one doc_id sort over the pre-groups streams to the final
-    corpus (tmp + atomic replace; a crash here redoes only the sort,
-    never the extract), then the index builds from the files — the
-    same read-from-files route the non-resumable gate takes.
+    Stage B: per-range parallel assembly. Stage A hive-partitions each
+    group's rows by coarse doc-id range (``range_bucket = doc_id * R //
+    n_docs``), so assembling the final sorted corpus needs NO
+    corpus-wide shuffle: each of the R ranges independently reads its
+    slice from every group, sorts ~n_docs/R rows in memory, and writes
+    ONE zero-padded file — lexicographic file order == global doc
+    order. The stage is embarrassingly parallel (it replaced a global
+    ``sort("doc_id")`` rewrite whose sample/exchange barriers capped
+    the XL route's 4->16 CPU efficiency at 0.773). A crash here redoes
+    only the assembly, never the extract; the final dir lands via
+    atomic rename as before.
 
     ``concurrency`` group pipelines run at once (driver threads, the
     corpus-write overlap pattern): one group reads only a couple of
@@ -322,8 +329,19 @@ def _resumable_write_first(
         # decode is one task no matter the CPU count)
         n_groups = min(len(files), 16)
     n_groups = max(1, min(n_groups, len(files)))
+    import ray as _ray
+
+    ncpu_total = (
+        int(_ray.cluster_resources().get("CPU", 8))
+        if _ray.is_initialized()
+        else 8
+    )
+    # stage-B range count: >= 2 assembly tasks per CPU (the final corpus
+    # is read per FILE by the build), each range small enough that its
+    # in-memory sort is a few hundred MB at web-page row sizes
+    n_ranges = max(2 * ncpu_total, min(4096, plan.n_docs // 65536 + 1))
     sig = {"files": _ingest_signature(files), "n_groups": n_groups,
-           "n_docs": plan.n_docs}
+           "n_docs": plan.n_docs, "n_ranges": n_ranges}
     manifest = None
     if os.path.exists(man_path):
         try:
@@ -360,6 +378,27 @@ def _resumable_write_first(
             out = apply_ingest_plan(src, plan, include_ambiguous=False)
         out = out.map_batches(extract_batch, batch_format="pyarrow")
         out = out.select_columns(["doc_id", "url", "text"])
+
+        def add_range(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            rb = np.minimum(
+                d * n_ranges // max(1, plan.n_docs), n_ranges - 1
+            )
+            return batch.append_column(
+                "range_bucket", pa.array(rb, pa.int64())
+            )
+
+        out = out.map_batches(add_range, batch_format="pyarrow")
+        # co-locate each range into ONE block before the hive write: a
+        # partitioned write emits one file per (task, partition value),
+        # so without this a 64-block group pipeline x ~81 ranges writes
+        # ~5k splinter files per group. The groupby is a GROUP-sized
+        # shuffle (1/n_groups of the corpus) that overlaps other groups'
+        # CPU-bound extract; the old stage B shuffled the same bytes in
+        # one global barrier instead.
+        out = out.groupby("range_bucket").map_groups(
+            lambda t: t, batch_format="pyarrow"
+        )
         gdir = os.path.join(pre, f"group={k}")
         gtmp = gdir + ".writing"
         for stale in (gtmp, gdir):
@@ -367,7 +406,7 @@ def _resumable_write_first(
             # the rename and the manifest write): redo it
             if os.path.exists(stale):
                 shutil.rmtree(stale)
-        out.write_parquet(gtmp)
+        out.write_parquet(gtmp, partition_cols=["range_bucket"])
         os.replace(gtmp, gdir)
         with man_lock:
             manifest["done"].append(k)
@@ -398,18 +437,56 @@ def _resumable_write_first(
             with ThreadPoolExecutor(max_workers=concurrency) as pool:
                 for _ in pool.map(run_group, todo):
                     pass
-    # stage B: global doc_id sort -> final corpus (atomic)
-    group_files = sorted(
-        os.path.join(pre, d, f)
-        for d in os.listdir(pre)
-        if d.startswith("group=") and not d.endswith(".writing")
-        for f in os.listdir(os.path.join(pre, d))
-        if f.endswith(".parquet")
-    )
+    # stage B: per-range parallel assembly (no corpus-wide shuffle; see
+    # docstring). Every group wrote range_bucket=r hive subdirs; range
+    # r's slice across groups is disjoint in doc_id from every other
+    # range, so sorting each range independently and naming files in
+    # zero-padded range order yields the globally sorted corpus.
+    range_files: dict[int, list[str]] = {}
+    for d in os.listdir(pre):
+        if not d.startswith("group=") or d.endswith(".writing"):
+            continue
+        gdir = os.path.join(pre, d)
+        for rb in os.listdir(gdir):
+            if not rb.startswith("range_bucket="):
+                continue
+            r = int(rb.split("=", 1)[1])
+            rdir = os.path.join(gdir, rb)
+            range_files.setdefault(r, []).extend(
+                os.path.join(rdir, f)
+                for f in sorted(os.listdir(rdir))
+                if f.endswith(".parquet")
+            )
     tmp_final = final + ".writing"
     if os.path.exists(tmp_final):
         shutil.rmtree(tmp_final)
-    rd.read_parquet(group_files).sort("doc_id").write_parquet(tmp_final)
+    os.makedirs(tmp_final)
+    items = [
+        {"r": r, "files": sorted(fs)} for r, fs in sorted(range_files.items())
+    ]
+
+    def assemble_ranges(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        rs, rows = [], []
+        for r, fl in zip(
+            batch.column("r").to_pylist(), batch.column("files").to_pylist()
+        ):
+            t = pa.concat_tables([pq.read_table(f) for f in fl])
+            t = t.sort_by("doc_id")
+            pq.write_table(
+                t, os.path.join(tmp_final, f"part-{int(r):08d}.parquet")
+            )
+            rs.append(int(r))
+            rows.append(t.num_rows)
+        return pa.table(
+            {"r": pa.array(rs, pa.int64()), "rows": pa.array(rows, pa.int64())}
+        )
+
+    if items:
+        rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            assemble_ranges, batch_format="pyarrow"
+        ).materialize()
     os.replace(tmp_final, final)
     shutil.rmtree(pre)
     os.remove(man_path)

@@ -339,36 +339,45 @@ def test_join_pair_payloads_coarse_groups_hold_many_keys():
 
 
 def test_attach_and_pivot_vectorized_multikey():
-    """Direct unit coverage of the per-coarse-group kernels: one call
-    handles many jids / many pairs (the coarse-shuffle contract)."""
-    import pandas as pd
+    """Direct unit coverage of the per-coarse-group kernels (now
+    arrow-native): one call handles many jids / many pairs (the
+    coarse-shuffle contract)."""
+    import pyarrow as pa
 
     from pyfuseray.extras.dedup import _attach_payloads, _pivot_pairs
 
     # attach: 3 jids' payloads + 2 pairs' side rows in ONE group
-    g = pd.DataFrame(
+    g = pa.table(
         {
-            "jid": [10, 20, 30, 10, 20, 10, 30, 99],
-            "a": [-1, -1, -1, 10, 10, 10, 10, 99],
-            "b": [-1, -1, -1, 20, 20, 30, 30, 100],
-            "side": [2, 2, 2, 0, 1, 0, 1, 0],
-            "payload": ["p10", "p20", "p30", None, None, None, None, None],
+            "jid": pa.array([10, 20, 30, 10, 20, 10, 30, 99], pa.int64()),
+            "a": pa.array([-1, -1, -1, 10, 10, 10, 10, 99], pa.int64()),
+            "b": pa.array([-1, -1, -1, 20, 20, 30, 30, 100], pa.int64()),
+            "side": pa.array([2, 2, 2, 0, 1, 0, 1, 0], pa.int8()),
+            "payload": pa.array(
+                ["p10", "p20", "p30", None, None, None, None, None],
+                pa.string(),
+            ),
         }
     )
     at = _attach_payloads(g)
-    assert len(at) == 4  # jid=99 has no payload row -> dropped
-    got = {(r.a, r.b, r.side): r.payload for r in at.itertuples()}
+    assert at.num_rows == 4  # jid=99 has no payload row -> dropped
+    rows = at.to_pylist()
+    got = {(r["a"], r["b"], r["side"]): r["payload"] for r in rows}
     assert got == {
         (10, 20, 0): "p10", (10, 20, 1): "p20",
         (10, 30, 0): "p10", (10, 30, 1): "p30",
     }
     # pivot: 2 complete pairs + 1 half pair + duplicated rows in ONE group
-    at2 = pd.concat([at, at.iloc[[0]]], ignore_index=True)  # duplicate row
-    at2 = pd.concat(
-        [at2, pd.DataFrame({"a": [7], "b": [8], "side": [0], "payload": ["x"]})],
-        ignore_index=True,
+    extra = pa.table(
+        {
+            "a": pa.array([7], pa.int64()),
+            "b": pa.array([8], pa.int64()),
+            "side": pa.array([0], pa.int8()),
+            "payload": pa.array(["x"], pa.string()),
+        }
     )
-    pv = _pivot_pairs(at2).sort_values("a").reset_index(drop=True)
+    at2 = pa.concat_tables([at, at.slice(0, 1), extra])
+    pv = _pivot_pairs(at2).to_pandas().sort_values("a").reset_index(drop=True)
     assert pv[["a", "b"]].values.tolist() == [[10, 20], [10, 30]]
     assert pv["payload_a"].tolist() == ["p10", "p10"]
     assert pv["payload_b"].tolist() == ["p20", "p30"]

@@ -124,3 +124,36 @@ def test_changed_input_invalidates_manifest(ray_session, pages_dir, tmp_path):
     )
     assert m.n_docs > 0
     assert IndexSearcher(str(tmp_path / "ix")).search_bm25("quick foxes", 5)
+
+
+def test_stage_b_final_corpus_globally_sorted(ray_session, pages_dir, tmp_path):
+    """Stage B writes one file per doc range, zero-padded; reading the
+    final corpus files in name order must yield globally non-decreasing
+    doc_ids (the corpus_sorted=True fast path depends on it)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyfuseray.pipeline import build_from_pages
+
+    out = str(tmp_path / "ix")
+    cdir = str(tmp_path / "c")
+    build_from_pages(
+        pages_dir, out, corpus_dir=cdir,
+        ingest_groups=3, num_buckets=2, overwrite=True,
+    )
+    final = os.path.join(cdir, "corpus")
+    last = -1
+    files = sorted(
+        f for f in os.listdir(final) if f.endswith(".parquet")
+    )
+    assert len(files) > 1  # the invariant must span file boundaries
+    for f in files:
+        ids = pq.read_table(
+            os.path.join(final, f), columns=["doc_id"]
+        ).column("doc_id").to_numpy()
+        assert ids.size == 0 or (
+            int(ids[0]) > last and bool((ids[1:] >= ids[:-1]).all())
+        ), f
+        if ids.size:
+            last = int(ids[-1])
