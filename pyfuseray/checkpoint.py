@@ -66,6 +66,14 @@ class Manifest:
     # Empty means the single original "postings_raw" (pre-incremental
     # manifests load this way). See pyfuseray/incremental.py.
     generations: list[str] = field(default_factory=list)
+    # tiered-add segment generations (relative dir names like
+    # "segments_g1"), oldest first; [] means the single "segments" dir.
+    # A non-empty list marks a LOG-STRUCTURED index state: the searcher
+    # merges a term's rows across generations at query time (BM25/
+    # boolean exact; WAND/tfidf/bulk/resident tiers require
+    # incremental.compact_tiers first). Additive field — pre-existing
+    # manifests load as [] — so FORMAT_VERSION stays unchanged.
+    seg_generations: list[str] = field(default_factory=list)
     # count of tombstoned doc_ids in stats/deleted.parquet (see
     # pyfuseray/deletes.py). 0 means the sidecar is absent OR inert (a
     # crash between compact's manifest write and the sidecar unlink

@@ -64,14 +64,21 @@ def cmd_add(args: argparse.Namespace) -> int:
 
     if args.finish:
         m = finish_add(args.index)
+    elif getattr(args, "compact_tiers", False):
+        from pyfuseray.incremental import compact_tiers
+
+        m = compact_tiers(args.index)
     else:
         m = add_documents(
-            args.index, rd.read_parquet(args.input).select_columns(["doc_id", "text"])
+            args.index,
+            rd.read_parquet(args.input).select_columns(["doc_id", "text"]),
+            mode="tiered" if getattr(args, "tiered", False) else "full",
         )
     print(json.dumps({
         "n_docs": m.n_docs, "avgdl": round(m.avgdl, 3),
         "total_postings": m.total_postings,
         "generations": len(m.generations or []) or 1,
+        "seg_generations": len(getattr(m, "seg_generations", []) or []),
     }))
     return 0
 
@@ -292,6 +299,12 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--input", help="(doc_id, text) parquet; ids above indexed max")
     a.add_argument("--finish", action="store_true",
                    help="repair an interrupted add (redo merge from manifest)")
+    a.add_argument("--tiered", action="store_true",
+                   help="log-structured add: merge only the new generation "
+                        "(BM25/boolean exact; WAND/tfidf/bulk/resident gated "
+                        "until compaction)")
+    a.add_argument("--compact-tiers", action="store_true",
+                   help="fold tiered generations into one exact segment set")
     a.set_defaults(fn=cmd_add)
 
     d = sub.add_parser("delete", help="tombstone doc_ids and/or compact")

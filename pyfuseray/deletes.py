@@ -220,6 +220,11 @@ def compact(index_dir: str) -> Manifest:
     # invalidate the stages the filtered postings obsolete, retire the
     # tombstones (n_deleted=0 makes the sidecar inert — see module doc)
     old_gens = list(gens)
+    # a tombstone compaction also consolidates tiered segment
+    # generations (their postings are in the union above); their dirs
+    # are removed with the old postings generations below
+    old_seg_gens = list(getattr(m, "seg_generations", None) or [])
+    m.seg_generations = []
     m.generations = [gen_name]
     m.n_docs -= int(deleted.size)
     m.total_postings = new_total
@@ -240,4 +245,11 @@ def compact(index_dir: str) -> Manifest:
         os.remove(path)
     for g in old_gens:
         shutil.rmtree(os.path.join(index_dir, g), ignore_errors=True)
+    if old_seg_gens:
+        from pyfuseray.incremental import seg_stat_paths
+
+        for s in old_seg_gens:
+            shutil.rmtree(os.path.join(index_dir, s), ignore_errors=True)
+            for p in seg_stat_paths(index_dir, s):
+                shutil.rmtree(p, ignore_errors=True)
     return finish_add(index_dir)

@@ -37,6 +37,18 @@ from pyfuseray.codec import decode_postings
 from pyfuseray.scoring import BM25_B, BM25_K1, bm25_idf, tfidf_weight, tfidf_weight_vec
 
 
+def _reject_tiered(m) -> None:
+    """Bulk search scans the consolidated segments/ dir and computes
+    idf from per-row df — on a tiered multi-generation index a term's
+    df is SPLIT across generation dirs, so serving would be silently
+    wrong. Gate with a clear remedy instead (incremental.py docstring)."""
+    if getattr(m, "seg_generations", None):
+        raise RuntimeError(
+            "bulk search on a tiered multi-generation index: run "
+            "incremental.compact_tiers() first"
+        )
+
+
 def bulk_search(
     index_dir: str,
     queries: list[str],
@@ -65,6 +77,7 @@ def bulk_search(
     m = load_manifest(index_dir)
     if m is None or not m.stage_done("done"):
         raise FileNotFoundError(f"no complete index manifest in {index_dir}")
+    _reject_tiered(m)
     n_docs, avgdl = m.n_docs, m.avgdl or 1.0
     analyzer = make_analyzer(m.analyzer)
 
@@ -233,6 +246,7 @@ def _bulk_search_ranged(
     m = load_manifest(index_dir)
     if m is None or not m.stage_done("done"):
         raise FileNotFoundError(f"no complete index manifest in {index_dir}")
+    _reject_tiered(m)
     n_docs, avgdl = m.n_docs, m.avgdl or 1.0
     analyzer = make_analyzer(m.analyzer)
     q_terms: dict[str, list[tuple[int, int]]] = {}

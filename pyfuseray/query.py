@@ -47,6 +47,30 @@ class SegmentRow:
     offset: np.ndarray
 
 
+def _merge_seg_rows(rows: list[SegmentRow]) -> SegmentRow:
+    """Concatenate one term's per-generation rows (generation order ==
+    increasing, disjoint doc ranges — enforced by add_documents'
+    doc-range check). Every codec block restarts from an absolute
+    doc_id, so the merged blob is the byte concatenation with the
+    per-block offsets shifted; df/cf sum. The concatenated max_bm25
+    values were computed against superseded global stats — callers gate
+    WAND on ``_multi_gen`` and use TAAT, which never reads them."""
+    blob = b"".join(r.blob for r in rows)
+    shifts = np.cumsum([0] + [len(r.blob) for r in rows[:-1]])
+    return SegmentRow(
+        term=rows[0].term,
+        df=sum(r.df for r in rows),
+        cf=sum(r.cf for r in rows),
+        blob=blob,
+        last_doc=np.concatenate([r.last_doc for r in rows]),
+        max_tf=np.concatenate([r.max_tf for r in rows]),
+        max_bm25=np.concatenate([r.max_bm25 for r in rows]),
+        offset=np.concatenate(
+            [r.offset + s for r, s in zip(rows, shifts)]
+        ),
+    )
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str, analyzer: Analyzer | None = None):
         self.index_dir = index_dir
@@ -61,7 +85,15 @@ class IndexSearcher:
         self._norm_vals: np.ndarray | None = None
         self._dl_vals: np.ndarray | None = None
         self._deleted: np.ndarray | None = None  # sorted tombstones (lazy)
-        self._seg_datasets: dict[int, pads.Dataset] = {}
+        # tiered-add state (incremental.add_documents mode="tiered"):
+        # a term's rows are merged across generation dirs at query time;
+        # doc ranges are strictly increasing across generations, so the
+        # merge is concatenation. See incremental.py for the gates.
+        self._seg_dirs: list[str] = ["segments"] + [
+            s for s in getattr(m, "seg_generations", None) or []
+        ]
+        self._multi_gen = len(self._seg_dirs) > 1
+        self._seg_datasets: dict[tuple[str, int], object] = {}
         # bounded term -> SegmentRow|None cache (zipfian query terms)
         self._row_cache: dict[str, SegmentRow | None] = {}
         self._row_cache_max = 50_000
@@ -85,27 +117,37 @@ class IndexSearcher:
         for t in misses:
             by_bucket.setdefault(term_bucket(t, self.manifest.num_buckets), []).append(t)
         for bucket, ts in by_bucket.items():
-            dataset = self._seg_datasets.get(bucket)
-            if dataset is None:
-                part = os.path.join(self.index_dir, "segments", f"bucket={bucket}")
-                if not os.path.isdir(part):
+            acc: dict[str, list[SegmentRow]] = {}
+            for seg_name in self._seg_dirs:
+                dataset = self._seg_datasets.get((seg_name, bucket))
+                if dataset is None:
+                    part = os.path.join(
+                        self.index_dir, seg_name, f"bucket={bucket}"
+                    )
+                    dataset = (
+                        pads.dataset(part, format="parquet")
+                        if os.path.isdir(part)
+                        else "missing"
+                    )
+                    self._seg_datasets[(seg_name, bucket)] = dataset
+                if dataset == "missing":
                     continue
-                dataset = pads.dataset(part, format="parquet")
-                self._seg_datasets[bucket] = dataset
-            tbl = dataset.to_table(filter=pads.field("term").isin(ts))
-            for i in range(tbl.num_rows):
-                row = {c: tbl.column(c)[i].as_py() for c in
-                       ("term", "df", "cf", "blob")}
-                out[row["term"]] = SegmentRow(
-                    term=row["term"],
-                    df=int(row["df"]),
-                    cf=int(row["cf"]),
-                    blob=row["blob"],
-                    last_doc=np.asarray(tbl.column("last_doc")[i].as_py(), dtype=np.int64),
-                    max_tf=np.asarray(tbl.column("max_tf")[i].as_py(), dtype=np.int64),
-                    max_bm25=np.asarray(tbl.column("max_bm25")[i].as_py(), dtype=np.float64),
-                    offset=np.asarray(tbl.column("offset")[i].as_py(), dtype=np.int64),
-                )
+                tbl = dataset.to_table(filter=pads.field("term").isin(ts))
+                for i in range(tbl.num_rows):
+                    row = {c: tbl.column(c)[i].as_py() for c in
+                           ("term", "df", "cf", "blob")}
+                    acc.setdefault(row["term"], []).append(SegmentRow(
+                        term=row["term"],
+                        df=int(row["df"]),
+                        cf=int(row["cf"]),
+                        blob=row["blob"],
+                        last_doc=np.asarray(tbl.column("last_doc")[i].as_py(), dtype=np.int64),
+                        max_tf=np.asarray(tbl.column("max_tf")[i].as_py(), dtype=np.int64),
+                        max_bm25=np.asarray(tbl.column("max_bm25")[i].as_py(), dtype=np.float64),
+                        offset=np.asarray(tbl.column("offset")[i].as_py(), dtype=np.int64),
+                    ))
+            for term, rows in acc.items():
+                out[term] = rows[0] if len(rows) == 1 else _merge_seg_rows(rows)
         if len(cache) < self._row_cache_max:
             for t in misses:
                 cache[t] = out.get(t)
@@ -115,15 +157,30 @@ class IndexSearcher:
     # doc_ids are dense ranks (0..N-1), so docstats loads ONCE into dense
     # numpy arrays indexed by doc_id: O(1) lookups in scoring loops.
     def _load_docstats(self) -> None:
-        path = os.path.join(self.index_dir, "stats", "docstats.parquet")
-        tbl = pads.dataset(path, format="parquet").to_table()
-        ids = tbl.column("doc_id").to_numpy()
+        paths = [os.path.join(self.index_dir, "stats", "docstats.parquet")]
+        if self._multi_gen:
+            from pyfuseray.incremental import seg_stat_paths
+
+            paths.extend(
+                seg_stat_paths(self.index_dir, s)[1]
+                for s in self._seg_dirs[1:]
+            )
+        tbls = [
+            pads.dataset(p, format="parquet").to_table()
+            for p in paths
+            if os.path.exists(p)
+        ]
+        ids = np.concatenate(
+            [t.column("doc_id").to_numpy() for t in tbls]
+        ) if tbls else np.zeros(0, dtype=np.int64)
         size = max(self.manifest.n_docs, int(ids.max()) + 1 if ids.size else 0)
         # docs absent from the index: norm 1 (InvertedIndex.py:419), dl avgdl
         norms = np.full(size, 1.0, dtype=np.float64)
         dls = np.full(size, self.manifest.avgdl or 1.0, dtype=np.float64)
-        norms[ids] = tbl.column("norm").to_numpy().astype(np.float64)
-        dls[ids] = tbl.column("dl").to_numpy().astype(np.float64)
+        for t in tbls:
+            tids = t.column("doc_id").to_numpy()
+            norms[tids] = t.column("norm").to_numpy().astype(np.float64)
+            dls[tids] = t.column("dl").to_numpy().astype(np.float64)
         self._norm_vals, self._dl_vals = norms, dls
 
     def _norms(self) -> np.ndarray:
@@ -164,6 +221,13 @@ class IndexSearcher:
     # -- scoring ------------------------------------------------------------
     def search_tfidf(self, query: str, top_k: int = 10) -> list[tuple[int, float]]:
         """Reference-conformant TF-IDF cosine (TAAT, exhaustive)."""
+        if self._multi_gen:
+            # per-doc cosine norms were computed against superseded
+            # global (df, N) — serving them would be silently wrong
+            raise RuntimeError(
+                "search_tfidf on a tiered multi-generation index: norms "
+                "are stale until incremental.compact_tiers() runs"
+            )
         terms = self.analyzer.preprocess_query(query)
         if not terms:
             return []
@@ -267,6 +331,12 @@ class IndexSearcher:
         build_k1 = getattr(self.manifest, "bm25_k1", BM25_K1)
         build_b = getattr(self.manifest, "bm25_b", BM25_B)
         if (k1, b) != (build_k1, build_b):
+            return self._bm25_taat(seg_rows, top_k, k1, b)
+        if self._multi_gen:
+            # tiered index: stored block-max bounds reflect superseded
+            # global stats, so WAND could prune true top-k docs — TAAT
+            # is exact for the merged rows (same fallback contract as
+            # custom (k1, b) above; compact_tiers restores WAND)
             return self._bm25_taat(seg_rows, top_k, k1, b)
         if algorithm == "auto":
             # Windowed block-max WAND (span decode + buffered vectorized

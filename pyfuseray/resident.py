@@ -191,6 +191,12 @@ def ensure_resident_layout(
     m = load_manifest(index_dir)
     if m is None or not m.stage_done("done"):
         raise FileNotFoundError(f"no complete index manifest in {index_dir}")
+    if getattr(m, "seg_generations", None):
+        raise RuntimeError(
+            "resident tier on a tiered multi-generation index: run "
+            "incremental.compact_tiers() first (the sidecar reads the "
+            "consolidated segments/ dir only)"
+        )
     res = os.path.join(index_dir, _RESIDENT_DIRNAME)
     meta_path = os.path.join(res, "meta.json")
     domain = _doc_domain(index_dir, m.n_docs)
