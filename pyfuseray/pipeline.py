@@ -654,6 +654,127 @@ def build_from_pages(
     return build_index(corpus, out_dir, corpus_sorted=True, **build_kwargs)
 
 
+def append_pages(
+    index_dir: str,
+    new_pages: rd.Dataset | str,
+    *,
+    corpus_dir: str,
+    mode: str = "tiered",
+    max_generations: int = 4,
+    tokenizer_batch_size: int = 4096,
+):
+    """Append a NEW pages directory to a pages-built index without
+    re-planning or re-reading the old corpus (the reference rebuilds
+    from scratch on any corpus change, ``app/DataLoader.py:77-89``).
+
+    Semantics: the new pages are deduped among themselves exactly like
+    ``build_from_pages`` (url keep-first by warc_ts, broadcast plan),
+    then urls ALREADY in the indexed corpus are dropped — keep-EXISTING
+    (a re-crawled url keeps its original text until a full rebuild).
+    Survivors get doc_ids ``indexed_max + 1 + rank-of-url`` (ranks may
+    have url-collision holes; dense ranks are not required above the
+    indexed max), their (doc_id, url, text) rows land in
+    ``corpus_dir/append_gK`` — K = the postings generation they feed —
+    and the index grows via ``incremental.add_documents`` (tiered by
+    default: the merge touches only the new docs' runs).
+
+    The only corpus-proportional cost is the url anti-join (one narrow
+    column read of corpus + prior appends through a coarse-bucket
+    shuffle) — the heavy text/html columns of the OLD corpus are never
+    touched. Idempotent: the append dir is written (atomic rename)
+    BEFORE the index add, keyed by generation number, so a crashed run
+    resumes by re-reading it, and a completed append re-run drops every
+    url at the anti-join and adds nothing.
+    """
+    import os
+    import shutil
+
+    from pyfuseray.checkpoint import load_manifest
+    from pyfuseray.docids import apply_ingest_plan, plan_ingest_broadcast
+    from pyfuseray.extras.joins import anti_join
+    from pyfuseray.incremental import _generations, _max_doc_id, add_documents
+
+    m = load_manifest(index_dir)
+    if m is None or not m.stage_done("done"):
+        raise FileNotFoundError(
+            f"no complete index manifest in {index_dir} (run finish_add "
+            "first if an add was interrupted)"
+        )
+    k = len(_generations(m))
+    append_dir = os.path.join(corpus_dir, f"append_g{k}")
+    final = os.path.join(corpus_dir, "corpus")
+    have_rows = os.path.isdir(append_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(append_dir)
+    )
+    if not have_rows:
+        # (an empty append dir — a prior run that found nothing new —
+        # does NOT short-circuit: re-plan against the current input)
+        if os.path.isdir(append_dir):
+            shutil.rmtree(append_dir)
+        import ray
+
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        nb = max(16, 2 * ncpu)
+        if isinstance(new_pages, str):
+            narrow = rd.read_parquet(
+                new_pages, columns=["url", "warc_ts"], override_num_blocks=nb
+            )
+            pages = rd.read_parquet(new_pages, override_num_blocks=nb)
+        else:
+            pages = new_pages
+            narrow = pages.select_columns(["url", "warc_ts"])
+        plan = plan_ingest_broadcast(narrow)
+        with_ids = apply_ingest_plan(pages, plan)
+        extracted = with_ids.map_batches(
+            extract_batch, batch_format="pyarrow"
+        ).select_columns(["doc_id", "url", "text"])
+        url_dirs = [final] + sorted(
+            os.path.join(corpus_dir, d)
+            for d in os.listdir(corpus_dir)
+            if d.startswith("append_g") and not d.endswith(".writing")
+        )
+        url_files = [
+            os.path.join(d, f)
+            for d in url_dirs
+            if os.path.isdir(d)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        existing = rd.read_parquet(url_files, columns=["url"])
+        fresh = anti_join(extracted, existing, left_on="url")
+        base = _max_doc_id(index_dir) + 1
+
+        def shift_ids(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False) + base
+            idx = batch.column_names.index("doc_id")
+            return batch.set_column(idx, "doc_id", pa.array(ids, pa.int64()))
+
+        tmp = append_dir + ".writing"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        # doc_id sort: tokenizer batches then cover disjoint ranges, so
+        # the new generation's runs merge by pure concatenation
+        fresh.map_batches(shift_ids, batch_format="pyarrow").sort(
+            "doc_id"
+        ).write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)  # empty-result edge
+        os.replace(tmp, append_dir)
+    if not any(f.endswith(".parquet") for f in os.listdir(append_dir)):
+        return m  # nothing new under the sun
+    new_corpus = rd.read_parquet(append_dir, columns=["doc_id", "text"])
+    return add_documents(
+        index_dir,
+        new_corpus,
+        mode=mode,
+        max_generations=max_generations,
+        tokenizer_batch_size=tokenizer_batch_size,
+    )
+
+
 def search(index_dir: str, query: str, top_k: int = 10, *, scoring: str = "tfidf",
            algorithm: str = "taat") -> list[tuple[int, float]]:
     s = IndexSearcher(index_dir)
