@@ -613,13 +613,34 @@ def run_latency_table() -> dict:
     from pyfuseray.query import IndexSearcher
 
     table = {}
-    for n in (1000, 2000, 4000, 8000, 16000, 32000, 64000):
-        pages_path = f"/tmp/pyfuseray_lat_pages_{n}.parquet"
-        if not os.path.exists(pages_path):
-            pq.write_table(
-                synth_pages(n, seed=42, vocab_size=20000, words_per_doc=(80, 400)),
-                pages_path, row_group_size=4096,
-            )
+    # 1M point: an order of magnitude past the reference's 64k table —
+    # the flat-in-N claim must hold there (round-4 verdict ask #6).
+    # Synthesized SHARDED (per-file read parallelism, the repo invariant).
+    for n in (1000, 2000, 4000, 8000, 16000, 32000, 64000, 1_000_000):
+        if n > 100_000:
+            pages_path = f"/tmp/pyfuseray_lat_pages_{n}"
+            if not os.path.isdir(pages_path):
+                tmp = pages_path + ".writing"
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp)
+                chunk = 100_000
+                for k, off in enumerate(range(0, n, chunk)):
+                    pq.write_table(
+                        synth_pages(min(chunk, n - off), seed=42 + k,
+                                    vocab_size=20000, words_per_doc=(80, 400),
+                                    id_offset=off),
+                        f"{tmp}/part-{k:05d}.parquet", row_group_size=8192,
+                    )
+                os.replace(tmp, pages_path)
+        else:
+            pages_path = f"/tmp/pyfuseray_lat_pages_{n}.parquet"
+            if not os.path.exists(pages_path):
+                pq.write_table(
+                    synth_pages(n, seed=42, vocab_size=20000, words_per_doc=(80, 400)),
+                    pages_path, row_group_size=4096,
+                )
         ix = f"/tmp/pyfuseray_lat_ix_{n}"
         t0 = time.perf_counter()
         build_from_pages(pages_path, ix,
@@ -629,14 +650,18 @@ def run_latency_table() -> dict:
         s = IndexSearcher(ix)
         for q in QUERIES:  # warm the dictionary/row caches + page cache
             s.search_bm25(q, 8, algorithm="auto")
-        lats = []
+        lats, lats_w = [], []
         for q in QUERIES:
-            runs = []
+            runs, runs_w = [], []
             for _ in range(5):
                 t0 = time.perf_counter()
                 s.search_bm25(q, 8, algorithm="auto")
                 runs.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                s.search_bm25(q, 8, algorithm="wand")
+                runs_w.append(time.perf_counter() - t0)
             lats.append(statistics.median(runs))
+            lats_w.append(statistics.median(runs_w))
         # the resident tier at the same N (rank-identity asserted)
         from pyfuseray.resident import ResidentTextSearcher
 
@@ -660,6 +685,7 @@ def run_latency_table() -> dict:
             "build_sec": round(build_s, 2),
             "docs_per_sec": round(n / build_s, 1),
             "bm25_p50_ms": round(1000 * statistics.median(lats), 3),
+            "bm25_wand_p50_ms": round(1000 * statistics.median(lats_w), 3),
             "bm25_resident_p50_ms": round(
                 1000 * statistics.median(lat_res), 3
             ),

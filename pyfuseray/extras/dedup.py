@@ -70,15 +70,23 @@ def exact_dedup(
             "_fp", pa.array(fps, type=pa.string())
         ).append_column("_cb", pa.array(cb, pa.int64()))
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["_fp", id_col]).drop_duplicates(
-            "_fp", keep="first"
-        )
+    def keep_min(group: pa.Table) -> pa.Table:
+        # per-fingerprint min id: dictionary codes group identically to
+        # the strings (arrow-native; no pandas object-dtype round trip)
+        dic = group.column("_fp").dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        codes_s = codes[order]
+        first = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        return group.take(pa.array(order[first]))
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(keep_min, batch_format="pandas")
+        .map_groups(keep_min, batch_format="pyarrow")
         .drop_columns(["_fp", "_cb"])
     )
 
@@ -153,12 +161,12 @@ class MinHashStage:
 _MAX_BUCKET = 256
 
 
-def _empty_pairs() -> pd.DataFrame:
-    return pd.DataFrame(
+def _empty_pairs() -> pa.Table:
+    return pa.table(
         {
-            "a": pd.Series(dtype="int64"),
-            "b": pd.Series(dtype="int64"),
-            "overflow": pd.Series(dtype="bool"),
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "overflow": pa.array([], pa.bool_()),
         }
     )
 
@@ -178,9 +186,11 @@ def _make_emit_pairs(max_bucket: int, key_cols: list[str]):
     with one ``np.triu_indices`` — per-bucket framework overhead never
     scales with bucket count."""
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["doc_id"].to_numpy()
-        keys = [group[c].to_numpy() for c in key_cols]
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = [
+            group.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+        ]
         order = np.lexsort((ids, *reversed(keys)))
         ids_s = ids[order]
         keys_s = [k[order] for k in keys]
@@ -206,11 +216,11 @@ def _make_emit_pairs(max_bucket: int, key_cols: list[str]):
             out_o.append(np.full(ii.size, overflow))
         if not out_a:
             return _empty_pairs()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "overflow": np.concatenate(out_o),
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "overflow": pa.array(np.concatenate(out_o), pa.bool_()),
             }
         )
 
@@ -235,15 +245,23 @@ def _dedup_pairs(pairs: rd.Dataset) -> rd.Dataset:
         )
         return batch.append_column("_cb", pa.array(cb.astype(np.int64), pa.int64()))
 
-    def dd(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(
-            ["a", "b", "overflow"], ascending=[True, True, False]
-        ).drop_duplicates(["a", "b"], keep="first")
+    def dd(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        ovf = group.column("overflow").to_numpy(zero_copy_only=False)
+        # (a, b) asc, overflow DESC (sticky True wins): ~overflow sorts
+        # True-overflow rows first within a pair
+        order = np.lexsort((~ovf, b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        return group.take(pa.array(order[first]))
 
     out = (
         pairs.map_batches(add_cb, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(dd, batch_format="pandas")
+        .map_groups(dd, batch_format="pyarrow")
     )
     return out.map_batches(
         lambda t: t.drop_columns(["_cb"]), batch_format="pyarrow"
@@ -283,7 +301,7 @@ def minhash_candidate_pairs(
         .groupby("_cb")
         .map_groups(
             _make_emit_pairs(max_bucket, ["band_id", "band_hash"]),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
     return _dedup_pairs(pairs)
@@ -752,7 +770,7 @@ def simhash_candidates(
         keyed.map_batches(add_cb, batch_format="pyarrow")
         .groupby("_cb")
         .map_groups(
-            _make_emit_pairs(max_bucket, ["combo", "key"]), batch_format="pandas"
+            _make_emit_pairs(max_bucket, ["combo", "key"]), batch_format="pyarrow"
         )
     )
     return _dedup_pairs(pairs)
@@ -842,20 +860,20 @@ def jaccard_candidate_pairs(
         gb = (g % np.uint64(COARSE_DEDUP_GROUPS)).astype(np.int64)
         return batch.append_column("_gb", pa.array(gb, pa.int64()))
 
-    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
-        g = group["gram"].to_numpy()
+    def attach_df(group: pa.Table) -> pa.Table:
+        g = group.column("gram").to_numpy(zero_copy_only=False)
         order = np.argsort(g, kind="stable")
         gs = g[order]
         starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
         counts = np.diff(np.concatenate((starts, [gs.size])))
         df = np.empty(g.size, dtype=np.int64)
         df[order] = np.repeat(counts, counts)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": group["doc_id"].to_numpy(),
-                "gram": g,
-                "n": group["n"].to_numpy(),
-                "df": df,
+                "doc_id": group.column("doc_id"),
+                "gram": pa.array(g, pa.int64()),
+                "n": group.column("n"),
+                "df": pa.array(df, pa.int64()),
             }
         )
 
@@ -864,11 +882,11 @@ def jaccard_candidate_pairs(
         db = _gram_doc_bucket(d).astype(np.int64)
         return batch.append_column("_db", pa.array(db, pa.int64()))
 
-    def prefix_select(group: pd.DataFrame) -> pd.DataFrame:
-        d = group["doc_id"].to_numpy()
-        g = group["gram"].to_numpy()
-        n = group["n"].to_numpy()
-        df = group["df"].to_numpy()
+    def prefix_select(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        df = group.column("df").to_numpy(zero_copy_only=False)
         # one lexsort for ALL docs in the coarse group: doc, then the
         # global gram order (df asc, gram asc)
         order = np.lexsort((g, df, d))
@@ -878,22 +896,27 @@ def jaccard_candidate_pairs(
         rank = np.arange(d_s.size) - np.repeat(starts, seg_len)
         alpha = np.maximum(np.int64(1), (threshold * n_s).astype(np.int64))
         keep = rank < (n_s - alpha + 1)
-        return pd.DataFrame({"gram": g_s[keep], "doc_id": d_s[keep]})
+        return pa.table(
+            {
+                "gram": pa.array(g_s[keep], pa.int64()),
+                "doc_id": pa.array(d_s[keep], pa.int64()),
+            }
+        )
 
     prefix_rows = (
         ds.select_columns(["doc_id", "text"])
         .map_batches(gram_stage, batch_format="pyarrow")
         .map_batches(add_gb, batch_format="pyarrow")
         .groupby("_gb")
-        .map_groups(attach_df, batch_format="pandas")
+        .map_groups(attach_df, batch_format="pyarrow")
         .map_batches(add_db, batch_format="pyarrow")
         .groupby("_db")
-        .map_groups(prefix_select, batch_format="pandas")
+        .map_groups(prefix_select, batch_format="pyarrow")
     )
     pairs = (
         prefix_rows.map_batches(add_gb, batch_format="pyarrow")
         .groupby("_gb")
-        .map_groups(_make_emit_pairs(max_bucket, ["gram"]), batch_format="pandas")
+        .map_groups(_make_emit_pairs(max_bucket, ["gram"]), batch_format="pyarrow")
     )
     return _dedup_pairs(pairs)
 

@@ -70,14 +70,30 @@ def unigram_counts(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
             }
         )
 
-    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        agg = group.groupby("term", sort=False)["cf"].sum().reset_index()
-        return agg[["term", "cf"]]
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        # arrow-native per-term cf sum: dictionary codes + reduceat
+        dic = group.column("term").dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        cf = group.column("cf").to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s, cf_s = codes[order], cf[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        )
+        sums = np.add.reduceat(cf_s, starts) if starts.size else cf_s[:0]
+        return pa.table(
+            {
+                "term": dic.dictionary.take(pa.array(codes_s[starts])),
+                "cf": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(reduce_bucket, batch_format="pandas")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
 
 
