@@ -900,6 +900,67 @@ def _q_bm25_topk_compacted(sf_dir: str):
     return _bm25_ranked(_ensure_deleted_index(sf_dir, compacted=True))
 
 
+def _ensure_tiered_index(sf_dir: str) -> str:
+    """Simple-analyzer index built over the FIRST half of documents,
+    then grown to the full corpus via a TIERED add (incremental.py
+    mode='tiered') and left MULTI-GENERATION — the query-time
+    generation-merge path is what the contract checks."""
+    from pyfuseray.build import build_index
+    from pyfuseray.checkpoint import load_manifest, save_manifest
+    from pyfuseray.incremental import add_documents
+
+    out = _index_dir_for(sf_dir) + "_simple_tiered"
+    m = load_manifest(out)
+    if (
+        m is not None
+        and m.stage_done("done")
+        and m.stage_done("contract_tiered")
+        and getattr(m, "seg_generations", None)
+    ):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    corpus = _docs(sf_dir).select_columns(["doc_id", "text"])
+    half = corpus.count() // 2
+    build_index(
+        corpus.filter(expr=f"doc_id < {half}"), out,
+        num_buckets=4, num_salts=2, analyzer="simple",
+    )
+    m = add_documents(
+        out, corpus.filter(expr=f"doc_id >= {half}"),
+        mode="tiered", max_generations=10,
+    )
+    m.mark_stage("contract_tiered")
+    save_manifest(out, m)
+    return out
+
+
+def _q_bm25_topk_tiered(sf_dir: str):
+    """Tiered-add correctness hash-checked end-to-end: the index is
+    left multi-generation (base + segments_g1), so the searcher merges
+    each term's per-generation rows at query time (blob concatenation,
+    summed df) and scores with exact TAAT — the oracle is the SAME
+    full-corpus BM25-in-SQL as bm25_topk_simple, so a hash match proves
+    the log-structured state is indistinguishable from a fresh build.
+    Same (round(score,6) DESC, doc_id) re-rank shim."""
+    from pyfuseray.query import IndexSearcher
+
+    ix = _ensure_tiered_index(sf_dir)
+    s = IndexSearcher(ix)
+    rows = []
+    for qid, q in enumerate(SIMPLE_BM25_QUERIES):
+        for doc_id, score in s.search_bm25(q, 50):
+            rows.append((qid, doc_id, round(score, 6)))
+    raw = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    raw = raw.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    raw["rank"] = raw.groupby("query_id").cumcount()
+    out = raw[raw["rank"] < 10].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
 def _q_topk_docs_per_lang(sf_dir: str):
     """Top-3 documents per language by (n_chars DESC, doc_id) — the
     distributed argmax-k-per-group operator (map-side partial top-k
@@ -1942,6 +2003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_search_bm25_simple": _q_bulk_search_bm25_simple,
         "sql_like_select_simple": _q_sql_like_select_simple,
         "bm25_topk_tombstoned": _q_bm25_topk_tombstoned,
+        "bm25_topk_tiered": _q_bm25_topk_tiered,
         "bm25_topk_compacted": _q_bm25_topk_compacted,
         "incremental_df_simple": _q_incremental_df_simple,
         "topk_docs_per_lang": _q_topk_docs_per_lang,
@@ -2705,6 +2767,21 @@ def oracle_sql() -> dict[str, str]:
         # avgdl = total tokens / N; rank by (round(score,6) DESC, doc_id)
         # on both sides (see _q_bm25_topk_simple).
         "bm25_topk_simple": f"""
+            WITH {_BM25_SCORES_CTE.format(qvalues=_BM25_Q_VALUES)}
+            SELECT query_id, rank, doc_id, score FROM (
+                SELECT query_id, doc_id, round(score, 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) - 1 AS rank
+                FROM scores
+            ) WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        # tiered multi-generation index (query-time generation merge):
+        # the oracle is the SAME full-corpus BM25 — a hash match proves
+        # the log-structured state equals a fresh build
+        "bm25_topk_tiered": f"""
             WITH {_BM25_SCORES_CTE.format(qvalues=_BM25_Q_VALUES)}
             SELECT query_id, rank, doc_id, score FROM (
                 SELECT query_id, doc_id, round(score, 6) AS score,
