@@ -1852,6 +1852,22 @@ def _q_dedup_spans(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dup_substring_spans(sf_dir: str):
+    """Exact duplicated-SUBSTRING spans (extras/substrdedup.py — the
+    Lee et al. ACL'22 suffix-array dedup role, arbitrary offsets, not
+    chunk-aligned like dedup_spans): maximal token spans covered by
+    5-grams occurring >= 2 times anywhere in the corpus. Gram keys are
+    top-60-bit md5 of the gram string on BOTH sides (md5vec here,
+    substr(md5(),1,15) in SQL), so even hash collisions agree and the
+    integer (doc_id, span_start, span_end) output hash-matches."""
+    from pyfuseray.extras.substrdedup import duplicated_substring_spans
+
+    out = duplicated_substring_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), min_len=5
+    ).to_pandas()
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence packing (pyfuseray/extras/packing.py): concatenate all
     docs in doc_id order into one token stream cut every 512 tokens;
@@ -2034,6 +2050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "contamination_pairs": _q_contamination_pairs,
         "dedup_spans": _q_dedup_spans,
+        "dup_substring_spans": _q_dup_substring_spans,
         "pack_sequences": _q_pack_sequences,
         "hybrid_rrf_simple": _q_hybrid_rrf_simple,
         "weighted_sample_by_len": _q_weighted_sample,
@@ -3439,6 +3456,48 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN flagged f USING (doc_id)
             GROUP BY d.doc_id
             ORDER BY d.doc_id
+        """,
+        # exact duplicated-substring spans: 5-gram md5-60bit keys with
+        # global count >= 2 cover [pos, pos+5); per-doc islands merge
+        # where the position gap is <= 5 (all-integer output)
+        "dup_substring_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS ts FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(0, len(ts) - 5 + 1)) AS pos,
+                       ts
+                FROM toks WHERE len(ts) >= 5
+            ),
+            h AS (
+                SELECT doc_id, pos,
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(ts, pos + 1, pos + 5), ' ')), 1, 15)
+                       )::BIGINT AS hv
+                FROM g
+            ),
+            c AS (SELECT hv FROM h GROUP BY hv HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, pos FROM h JOIN c USING (hv)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER w > 5
+                                 OR lag(pos) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS brk
+                FROM dup
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            ids AS (
+                SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM isl
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 5 AS BIGINT) AS span_end
+            FROM ids GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
         """,
         # sequence packing: prefix sum of token counts in doc_id order,
         # cut every 512 tokens (integer-exact, no rounding needed)

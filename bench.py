@@ -455,6 +455,7 @@ def _bench_dedup(corpus_dir: str, num_cpus: int, rounds: int = 2) -> dict:
     )
     from pyfuseray.extras.packing import pack_sequences
     from pyfuseray.extras.spandedup import dedup_spans
+    from pyfuseray.extras.substrdedup import duplicated_substring_spans
     from pyfuseray.extras.textstats import token_counts
 
     n = rd.read_parquet(corpus_dir, columns=["doc_id"]).count()
@@ -486,6 +487,13 @@ def _bench_dedup(corpus_dir: str, num_cpus: int, rounds: int = 2) -> dict:
         t0 = time.perf_counter()
         pack_sequences(token_counts(corpus()), seq_len=2048).count()
         best["pack"] = min(best.get("pack", 1e9), time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out["substr_spans"] = duplicated_substring_spans(
+            corpus(), min_len=5
+        ).count()
+        best["substrdedup"] = min(
+            best.get("substrdedup", 1e9), time.perf_counter() - t0
+        )
     for k, t in best.items():
         out[f"{k}_docs_per_sec"] = round(n / t, 1)
     out["spandedup_chunks_dropped"] = int(cleaned.sum("n_dropped") or 0)
