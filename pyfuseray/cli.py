@@ -252,6 +252,25 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_substr(args: argparse.Namespace) -> int:
+    """Exact duplicated-substring spans (or cleaned texts) to parquet."""
+    import ray.data as rd
+
+    from pyfuseray.extras.substrdedup import (
+        duplicated_substring_spans,
+        remove_duplicated_substrings,
+    )
+
+    _ray_session()
+    docs = rd.read_parquet(args.input)
+    fn = remove_duplicated_substrings if args.clean else duplicated_substring_spans
+    out = fn(docs, min_len=args.min_len)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "min_len": args.min_len,
+                      "mode": "clean" if args.clean else "spans"}))
+    return 0
+
+
 def cmd_qfilter(args: argparse.Namespace) -> int:
     import pyarrow as pa
     import ray.data as rd
@@ -391,6 +410,18 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--window", type=int, default=64)
     ck.add_argument("--stride", type=int, default=48)
     ck.set_defaults(fn=cmd_chunk)
+
+    sd = sub.add_parser(
+        "substr",
+        help="exact duplicated-substring spans / cleaned texts (Lee et al. role)",
+    )
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--min-len", type=int, default=5, dest="min_len")
+    sd.add_argument("--clean", action="store_true",
+                    help="emit (doc_id, text) with duplicated spans removed "
+                         "instead of the span list")
+    sd.set_defaults(fn=cmd_substr)
 
     qf = sub.add_parser(
         "qfilter",

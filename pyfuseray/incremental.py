@@ -16,11 +16,15 @@ Layout after k adds:
 
     out_dir/
       manifest.json            (generations: ["postings_raw",
-                                "postings_raw_g1", ... "postings_raw_gk"])
+                                "postings_raw_g1", ... "postings_raw_gk"];
+                                seg_generations: tiered segment dirs)
       postings_raw/bucket=b/   (generation 0 — the original build)
       postings_raw_g1/bucket=b/
-      segments/bucket=b/       (always rebuilt over ALL generations)
+      segments/bucket=b/       (full mode: rebuilt over ALL generations;
+                                tiered mode: the base generation only)
+      segments_g1/bucket=b/    (tiered mode only, one per tiered add)
       stats/df.parquet  stats/docstats.parquet
+      stats/df_g1.parquet  stats/docstats_g1.parquet  (tiered mode)
 
 Crash safety: a new generation dir is written to ``<dir>.writing`` and
 renamed into place BEFORE the manifest records it; the manifest update

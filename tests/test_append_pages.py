@@ -126,3 +126,34 @@ def test_append_keeps_existing_url_rows(ray_session, tmp_path):
                      max_generations=10)
     # only the 40 genuinely-new urls were added
     assert m.n_docs == n0 + 40
+
+
+def test_append_full_mode_matches_rebuild(ray_session, tmp_path):
+    """mode='full' append: the merge consolidates everything -> the
+    index serves every tier (tfidf included) and equals the rebuild."""
+    a = synth_pages(100, seed=21, null_text_frac=0.0, dup_frac=0.0)
+    b = synth_pages(60, seed=22, null_text_frac=0.0, dup_frac=0.0,
+                    id_offset=10_000)
+    pages_a, pages_b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write_pages(a, pages_a)
+    _write_pages(b, pages_b)
+    ix, cdir = str(tmp_path / "ix"), str(tmp_path / "c")
+    build_from_pages(pages_a, ix, corpus_dir=cdir, num_buckets=4,
+                     overwrite=True)
+    m = append_pages(ix, pages_b, corpus_dir=cdir, mode="full")
+    assert not m.seg_generations
+    pages_ab = str(tmp_path / "ab")
+    os.makedirs(pages_ab)
+    for src, tag in ((pages_a, "a"), (pages_b, "b")):
+        for f in os.listdir(src):
+            os.symlink(os.path.join(src, f),
+                       os.path.join(pages_ab, f"{tag}-{f}"))
+    ix_ref, cdir_ref = str(tmp_path / "ixr"), str(tmp_path / "cr")
+    build_from_pages(pages_ab, ix_ref, corpus_dir=cdir_ref, num_buckets=4,
+                     overwrite=True)
+    for q in QUERIES:
+        got = _url_scores(ix, cdir, q)
+        want = _url_scores(ix_ref, cdir_ref, q)
+        assert got == want, q
+    # tfidf works on the consolidated index (would raise on tiered)
+    assert IndexSearcher(ix).search_tfidf(QUERIES[0], 5)
