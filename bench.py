@@ -601,6 +601,128 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_dedup() -> dict:
+    """Second two-parallelism criterion measurement: the DEDUP family
+    (exact fingerprint, SimHash banding, duplicated-substring spans)
+    at lo vs hi CPUs over a 1.2M-page corpus — evidence that the
+    curation operators scale like the index build does, not just the
+    headline pipeline. Same interleaved-legs / per-leg-minima hygiene
+    as run_scaling."""
+    lo = int(os.environ.get("PYFUSERAY_SCALE_LO", "4"))
+    hi = int(os.environ.get("PYFUSERAY_SCALE_HI", "16"))
+    rounds = int(os.environ.get("PYFUSERAY_SCALE_ROUNDS", "2"))
+    n = int(os.environ.get("PYFUSERAY_DEDUP_DOCS", "1200000"))
+
+    def leg(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PYFUSERAY_DEDUP_DOCS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--dedup-leg"],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    runs_lo, runs_hi = [], []
+    for _ in range(rounds):
+        runs_lo.append(leg(lo))
+        runs_hi.append(leg(hi))
+    out = {
+        "metric": f"dedup-family scaling efficiency ({n} docs, {lo} -> {hi} CPUs)",
+        "unit": "efficiency",
+        "cpus_lo": lo, "cpus_hi": hi, "n_docs": n, "rounds": rounds,
+    }
+    effs = {}
+    for op in ("exact", "simhash", "substrdedup"):
+        t_lo = min(r[f"{op}_sec"] for r in runs_lo)
+        t_hi = min(r[f"{op}_sec"] for r in runs_hi)
+        effs[op] = round((t_lo / t_hi) / (hi / lo), 3)
+        out[f"{op}_sec_lo"] = t_lo
+        out[f"{op}_sec_hi"] = t_hi
+        out[f"{op}_docs_per_sec_hi"] = round(n / t_hi, 1)
+        out[f"{op}_eff"] = effs[op]
+    out["value"] = round(sum(effs.values()) / len(effs), 3)
+    out["runs_lo"] = runs_lo
+    out["runs_hi"] = runs_hi
+    return out
+
+
+def run_dedup_leg() -> dict:
+    """One dedup-family leg at RAY_GRAFT_CPUS over the shared 1.2M-page
+    corpus (built once, cached in /tmp, untimed)."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
+    n = int(os.environ.get("PYFUSERAY_DEDUP_DOCS", "1200000"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from pyfuseray.pages import synth_pages
+    from pyfuseray.pipeline import pages_to_corpus
+
+    pages_path = f"/tmp/pyfuseray_bench_pages_{n}_20000_80_400"
+    if not os.path.isdir(pages_path):
+        import pyarrow.parquet as pq
+        import shutil
+
+        tmp = pages_path + ".writing"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        tbl = synth_pages(n, seed=42, null_text_frac=0.15, dup_frac=0.02,
+                          vocab_size=20000, words_per_doc=(80, 400))
+        shard = 12_500
+        for i, off in enumerate(range(0, tbl.num_rows, shard)):
+            pq.write_table(tbl.slice(off, shard),
+                           f"{tmp}/part-{i:05d}.parquet", row_group_size=4096)
+        os.replace(tmp, pages_path)
+    corpus_path = f"/tmp/pyfuseray_dedup_corpus_{n}"
+    if not os.path.isdir(corpus_path):
+        import shutil
+
+        tmp = corpus_path + ".writing"
+        shutil.rmtree(tmp, ignore_errors=True)
+        pages_to_corpus(
+            rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus)
+        ).write_parquet(tmp)
+        os.replace(tmp, corpus_path)
+    for name in os.listdir(corpus_path):  # warm page cache
+        with open(os.path.join(corpus_path, name), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    from pyfuseray.extras.dedup import exact_dedup, simhash_candidates
+    from pyfuseray.extras.substrdedup import duplicated_substring_spans
+
+    n_docs = rd.read_parquet(corpus_path, columns=["doc_id"]).count()
+    nb = max(8, min(2 * num_cpus, n_docs // 2048))
+
+    def corpus():
+        return rd.read_parquet(
+            corpus_path, columns=["doc_id", "text"], override_num_blocks=nb
+        )
+
+    out = {"num_cpus": num_cpus, "n_docs": n_docs}
+    t0 = time.perf_counter()
+    out["exact_survivors"] = exact_dedup(corpus()).count()
+    out["exact_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    out["simhash_candidates"] = simhash_candidates(
+        corpus(), n_docs=n_docs
+    ).count()
+    out["simhash_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    out["substr_spans"] = duplicated_substring_spans(
+        corpus(), min_len=5
+    ).count()
+    out["substrdedup_sec"] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return out
+
+
 def run_latency_table() -> dict:
     """Reference-parity experiment (DataLoader.experiment /
     app/reporte.txt): query p50 latency vs corpus size N."""
@@ -756,6 +878,10 @@ def run_xl() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_scaling_dedup()))
+    elif "--dedup-leg" in sys.argv:
+        print(json.dumps(run_dedup_leg()))
     elif "--latency-table" in sys.argv:
         print(json.dumps(run_latency_table()))
     elif "--xl" in sys.argv:
