@@ -23,11 +23,12 @@ Pipeline shape (all Ray-Data-first, no driver-side corpus state):
    same key DuckDB reproduces as ``('0x' || substr(md5(s),1,15))``,
    so hash collisions are IDENTICAL on both sides and the contract
    hash-matches exactly).
-2. ONE coarse-bucket count shuffle (``hv % 1024`` — bounded group
-   count): inside each group, segment by hv and keep the positions of
-   grams with global count >= 2. Rows through the shuffle = corpus
-   token count (linear; the suffix array this replaces is also
-   linear-ish but needs global sorted state).
+2. ONE coarse-bucket count shuffle (``hv % n``, n derived from corpus
+   size so per-group payloads stay ~50 MB — a fixed count would grow
+   group payload linearly with the corpus): inside each group, segment
+   by hv and keep the positions of grams with global count >= 2. Rows
+   through the shuffle = corpus token count (linear; the suffix array
+   this replaces is also linear-ish but needs global sorted state).
 3. ONE coarse doc-bucket shuffle: per-doc interval union of the
    surviving [p, p+L) windows (vectorized islands: break where the
    position gap exceeds L), emitting (doc_id, span_start, span_end)
@@ -49,19 +50,38 @@ import ray.data as rd
 from pyfuseray.extras.md5vec import md5_hi60_arrow
 
 _TOKEN = re.compile(r"[a-z0-9]+")
-_COARSE = 1024
+_MIN_BUCKETS = 1024
 _M = np.uint64(11400714819323198485)
 
 
-def _db(ids: np.ndarray) -> np.ndarray:
+def _hash_buckets(n_docs: int) -> int:
+    """Gram-shuffle bucket count: the gram stream is corpus-token-sized
+    (~24 B/row), so a FIXED coarse count would make per-group payload
+    grow linearly with the corpus (100 GB/group at web scale — a
+    map_groups task materializes its whole group). Target ~8k docs of
+    grams per group (~50 MB at web-page token counts) with the usual
+    1024 floor; results are bucket-count-invariant by construction
+    (each gram hash lands wholly in one group under any count)."""
+    return max(_MIN_BUCKETS, n_docs // 8192 + 1)
+
+
+def _doc_buckets(n_docs: int) -> int:
+    """Island-merge bucket count: inputs are DUP positions only
+    (duplicate-mass-sized), so a coarser target suffices."""
+    return max(_MIN_BUCKETS, n_docs // 65536 + 1)
+
+
+def _db(ids: np.ndarray, n_buckets: int) -> np.ndarray:
     """Process-stable coarse doc bucket (never builtin hash)."""
     return (
-        (ids.astype(np.uint64) * _M >> np.uint64(32)) % np.uint64(_COARSE)
+        (ids.astype(np.uint64) * _M >> np.uint64(32))
+        % np.uint64(n_buckets)
     ).astype(np.int64)
 
 
 def _gram_rows(
-    batch: pa.Table, *, min_len: int, text_col: str, id_col: str
+    batch: pa.Table, *, min_len: int, text_col: str, id_col: str,
+    hash_buckets: int,
 ) -> pa.Table:
     """One row per L-gram position: (hv, doc_id, pos, _hb).
 
@@ -106,31 +126,38 @@ def _gram_rows(
             "doc_id": pa.array(ids[gdoc], pa.int64()),
             "pos": pa.array(pos, pa.int64()),
             "_hb": pa.array(
-                (hv.view(np.uint64) % np.uint64(_COARSE)).astype(np.int64),
+                (hv.view(np.uint64) % np.uint64(hash_buckets)).astype(
+                    np.int64
+                ),
                 pa.int64(),
             ),
         }
     )
 
 
-def _dup_positions(group: pa.Table) -> pa.Table:
-    """Keep (doc_id, pos) of grams whose GLOBAL count >= 2 (all of a
-    gram's rows land in this group — the bucket is hv-derived)."""
-    hv = group.column("hv").to_numpy(zero_copy_only=False)
-    order = np.argsort(hv, kind="stable")
-    hv_s = hv[order]
-    starts = np.flatnonzero(np.concatenate(([True], hv_s[1:] != hv_s[:-1])))
-    counts = np.diff(np.append(starts, hv_s.size))
-    keep_sorted = np.repeat(counts >= 2, counts)
-    sel = order[keep_sorted]
-    docs = group.column("doc_id").to_numpy(zero_copy_only=False)[sel]
-    return pa.table(
-        {
-            "doc_id": pa.array(docs, pa.int64()),
-            "pos": group.column("pos").take(pa.array(sel)),
-            "_db": pa.array(_db(docs), pa.int64()),
-        }
-    )
+def _make_dup_positions(doc_buckets: int):
+    def _dup_positions(group: pa.Table) -> pa.Table:
+        """Keep (doc_id, pos) of grams whose GLOBAL count >= 2 (all of
+        a gram's rows land in this group — the bucket is hv-derived)."""
+        hv = group.column("hv").to_numpy(zero_copy_only=False)
+        order = np.argsort(hv, kind="stable")
+        hv_s = hv[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], hv_s[1:] != hv_s[:-1]))
+        )
+        counts = np.diff(np.append(starts, hv_s.size))
+        keep_sorted = np.repeat(counts >= 2, counts)
+        sel = order[keep_sorted]
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)[sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "pos": group.column("pos").take(pa.array(sel)),
+                "_db": pa.array(_db(docs, doc_buckets), pa.int64()),
+            }
+        )
+
+    return _dup_positions
 
 
 def _make_spans(min_len: int):
@@ -172,20 +199,30 @@ def duplicated_substring_spans(
     min_len: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """(doc_id, span_start, span_end) maximal duplicated token spans
     (see module docstring). Positions are 0-based token indices over
     the simple ``[a-z0-9]+`` token stream; ``span_end`` is exclusive.
+
+    Shuffle bucket counts derive from ``n_docs`` so per-group payloads
+    stay ~50 MB at any corpus size (``_hash_buckets``); pass it when
+    the input is an expensive lazy pipeline (the default ``ds.count()``
+    executes the upstream once extra, same contract as
+    ``simhash_candidates``). Results are bucket-count-invariant.
     """
+    if n_docs is None:
+        n_docs = ds.count()
     grams = ds.map_batches(
         _gram_rows,
         fn_kwargs={
-            "min_len": min_len, "text_col": text_col, "id_col": id_col
+            "min_len": min_len, "text_col": text_col, "id_col": id_col,
+            "hash_buckets": _hash_buckets(n_docs),
         },
         batch_format="pyarrow",
     )
     dup = grams.groupby("_hb").map_groups(
-        _dup_positions, batch_format="pyarrow"
+        _make_dup_positions(_doc_buckets(n_docs)), batch_format="pyarrow"
     )
     return dup.groupby("_db").map_groups(
         _make_spans(min_len), batch_format="pyarrow"
@@ -198,6 +235,7 @@ def remove_duplicated_substrings(
     min_len: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """(doc_id, text) with every duplicated span's tokens removed and
     the survivors single-space joined. Docs made empty keep an empty
@@ -205,9 +243,13 @@ def remove_duplicated_substrings(
     doc-bucket shuffle co-locates each doc's spans with its row; texts
     move through the shuffle once (payload-sized, same shape as
     ``join_pair_payloads``)."""
+    if n_docs is None:
+        n_docs = ds.count()
     spans = duplicated_substring_spans(
-        ds, min_len=min_len, text_col=text_col, id_col=id_col
+        ds, min_len=min_len, text_col=text_col, id_col=id_col,
+        n_docs=n_docs,
     )
+    rebuild_buckets = _doc_buckets(n_docs)
 
     def tag_doc(batch: pa.Table) -> pa.Table:
         d = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -217,7 +259,7 @@ def remove_duplicated_substrings(
                 "span_start": pa.array(np.full(d.size, -1), pa.int64()),
                 "span_end": pa.array(np.full(d.size, -1), pa.int64()),
                 "text": batch.column(text_col),
-                "_db": pa.array(_db(d), pa.int64()),
+                "_db": pa.array(_db(d, rebuild_buckets), pa.int64()),
             }
         )
 
@@ -229,7 +271,7 @@ def remove_duplicated_substrings(
                 "span_start": batch.column("span_start"),
                 "span_end": batch.column("span_end"),
                 "text": pa.nulls(d.size, pa.string()),
-                "_db": pa.array(_db(d), pa.int64()),
+                "_db": pa.array(_db(d, rebuild_buckets), pa.int64()),
             }
         )
 
