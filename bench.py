@@ -473,10 +473,10 @@ def _bench_dedup(corpus_dir: str, num_cpus: int, rounds: int = 2) -> dict:
     best: dict[str, float] = {}
     for _ in range(rounds):
         t0 = time.perf_counter()
-        out["exact_survivors"] = exact_dedup(corpus()).count()
+        out["exact_survivors"] = exact_dedup(corpus(), n_docs=n).count()
         best["exact"] = min(best.get("exact", 1e9), time.perf_counter() - t0)
         t0 = time.perf_counter()
-        out["minhash_candidates"] = minhash_candidate_pairs(corpus()).count()
+        out["minhash_candidates"] = minhash_candidate_pairs(corpus(), n_docs=n).count()
         best["minhash"] = min(best.get("minhash", 1e9), time.perf_counter() - t0)
         t0 = time.perf_counter()
         out["simhash_candidates"] = simhash_candidates(corpus(), n_docs=n).count()
@@ -707,7 +707,7 @@ def run_dedup_leg() -> dict:
 
     out = {"num_cpus": num_cpus, "n_docs": n_docs}
     t0 = time.perf_counter()
-    out["exact_survivors"] = exact_dedup(corpus()).count()
+    out["exact_survivors"] = exact_dedup(corpus(), n_docs=n).count()
     out["exact_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     out["simhash_candidates"] = simhash_candidates(

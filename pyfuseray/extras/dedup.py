@@ -50,20 +50,41 @@ def content_fingerprint(text: str) -> str:
 COARSE_DEDUP_GROUPS = 1024
 
 
+def _coarse_groups(n_docs: int | None, docs_per_group: int) -> int:
+    """Group count for corpus-proportional shuffle payloads: a FIXED
+    coarse count bounds group COUNT but lets per-group payload grow
+    linearly with the corpus (a map_groups task materializes its whole
+    group — ~100 GB/group at web scale for full-text rows). With a
+    caller-supplied n_docs the count scales so each group holds
+    ~docs_per_group docs; without one, the measured-safe 1024 floor
+    applies. Results are group-count-invariant (a key's rows land
+    wholly in one group under any count)."""
+    if not n_docs:
+        return COARSE_DEDUP_GROUPS
+    return max(COARSE_DEDUP_GROUPS, n_docs // docs_per_group + 1)
+
+
 def exact_dedup(
-    ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """Exact near-identity dedup: hash-partition on content fingerprint,
     keep the row with the smallest id per group. One shuffle keyed on a
     COARSE bucket of the fingerprint; within each coarse group the
     per-fingerprint min is one vectorized sort + drop_duplicates, so
     per-group overhead never scales with corpus cardinality. Survivor
-    choice is deterministic."""
+    choice is deterministic. Pass ``n_docs`` (cheap for parquet-backed
+    inputs via count()) so group payloads stay bounded at any corpus
+    size — the shuffle moves FULL text rows (see ``_coarse_groups``)."""
+    groups = _coarse_groups(n_docs, 8192)
 
     def add_fp(batch: pa.Table) -> pa.Table:
         fps = [content_fingerprint(t) for t in batch.column(text_col).to_pylist()]
         cb = np.fromiter(
-            (int(f[:8], 16) % COARSE_DEDUP_GROUPS for f in fps),
+            (int(f[:8], 16) % groups for f in fps),
             dtype=np.int64, count=len(fps),
         )
         return batch.append_column(
@@ -276,13 +297,16 @@ def minhash_candidate_pairs(
     shingle_k: int = 5,
     concurrency: int | tuple[int, int] = (1, 8),
     max_bucket: int = _MAX_BUCKET,
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """(a, b, overflow) candidate near-dup pairs (a < b) via banded
     MinHash LSH.
 
     shingle->minhash->band rows, then ONE groupby on (band_id, band_hash);
     each bucket emits its pairs (vectorized, capped with overflow
-    markers — see ``_make_emit_pairs``)."""
+    markers — see ``_make_emit_pairs``). ``n_docs`` bounds per-group
+    shuffle payload at any scale (``_coarse_groups``)."""
+    groups = _coarse_groups(n_docs, 65536)  # band rows: ~bands x 24 B/doc
     bands_ds = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
@@ -293,7 +317,7 @@ def minhash_candidate_pairs(
     def add_cb(batch: pa.Table) -> pa.Table:
         h = batch.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
         bd = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        cb = (h * np.uint64(31) + bd) % np.uint64(COARSE_DEDUP_GROUPS)
+        cb = (h * np.uint64(31) + bd) % np.uint64(groups)
         return batch.append_column("_cb", pa.array(cb.astype(np.int64), pa.int64()))
 
     pairs = (
@@ -578,6 +602,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket: int = _MAX_BUCKET,
+    n_docs: int | None = None,
 ) -> tuple[list[tuple[int, int]], dict[int, int]]:
     """Full near-dup pass: candidates -> distributed exact-Jaccard
     verify -> union-find clusters. Returns
@@ -593,7 +618,8 @@ def minhash_dedup(
     # candidates are consumed twice (verify join + overflow accounting):
     # materialize the small pair set once
     cand = minhash_candidate_pairs(
-        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, max_bucket=max_bucket
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        max_bucket=max_bucket, n_docs=n_docs,
     ).materialize()
     corpus = ds.select_columns(["doc_id", "text"])
     verified_df = (
@@ -757,10 +783,13 @@ def simhash_candidates(
             }
         )
 
+    # per-group payload bound (key rows: ~n_combos x 24 B/doc)
+    groups = _coarse_groups(n_docs, 65536)
+
     def add_cb(batch: pa.Table) -> pa.Table:
         k = batch.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
         c = batch.column("combo").to_numpy(zero_copy_only=False).astype(np.uint64)
-        cb = (k * np.uint64(31) + c) % np.uint64(COARSE_DEDUP_GROUPS)
+        cb = (k * np.uint64(31) + c) % np.uint64(groups)
         return batch.append_column("_cb", pa.array(cb.astype(np.int64), pa.int64()))
 
     keyed = ds.select_columns(["doc_id", "text"]).map_batches(
@@ -804,9 +833,9 @@ def simhash_candidates(
 # verified pair list is driver-sized.
 
 
-def _gram_doc_bucket(doc_ids: np.ndarray) -> np.ndarray:
+def _gram_doc_bucket(doc_ids: np.ndarray, groups: int) -> np.ndarray:
     return (doc_ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
-        COARSE_DEDUP_GROUPS
+        groups
     )
 
 
@@ -816,6 +845,7 @@ def jaccard_candidate_pairs(
     threshold: float,
     shingle_k: int = 5,
     max_bucket: int = _MAX_BUCKET,
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """(a, b, overflow) candidate pairs (a < b) whose exact ``shingle_k``-gram
     Jaccard CAN reach ``threshold`` — recall 1 by the prefix-filter
@@ -824,9 +854,12 @@ def jaccard_candidate_pairs(
     ``verify_pairs_jaccard``.
 
     Partitioning assumption: none on the input; every stage keys on a
-    coarse hash bucket it computes itself."""
+    coarse hash bucket it computes itself. ``n_docs`` bounds per-group
+    shuffle payload at any scale (gram rows are corpus-token-sized;
+    ``_coarse_groups``)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    gram_groups = _coarse_groups(n_docs, 8192)
 
     def gram_stage(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -857,7 +890,7 @@ def jaccard_candidate_pairs(
 
     def add_gb(batch: pa.Table) -> pa.Table:
         g = batch.column("gram").to_numpy(zero_copy_only=False).view(np.uint64)
-        gb = (g % np.uint64(COARSE_DEDUP_GROUPS)).astype(np.int64)
+        gb = (g % np.uint64(gram_groups)).astype(np.int64)
         return batch.append_column("_gb", pa.array(gb, pa.int64()))
 
     def attach_df(group: pa.Table) -> pa.Table:
@@ -879,7 +912,7 @@ def jaccard_candidate_pairs(
 
     def add_db(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        db = _gram_doc_bucket(d).astype(np.int64)
+        db = _gram_doc_bucket(d, gram_groups).astype(np.int64)
         return batch.append_column("_db", pa.array(db, pa.int64()))
 
     def prefix_select(group: pa.Table) -> pa.Table:
@@ -928,6 +961,7 @@ def jaccard_similarity_join(
     shingle_k: int = 5,
     max_bucket: int = _MAX_BUCKET,
     emit_counts: bool = False,
+    n_docs: int | None = None,
 ) -> rd.Dataset:
     """Exact all-pairs ``shingle_k``-gram Jaccard self-join: every pair
     (a < b) with J >= threshold, with the exact similarity attached
@@ -940,7 +974,8 @@ def jaccard_similarity_join(
     import logging
 
     cand = jaccard_candidate_pairs(
-        ds, threshold=threshold, shingle_k=shingle_k, max_bucket=max_bucket
+        ds, threshold=threshold, shingle_k=shingle_k,
+        max_bucket=max_bucket, n_docs=n_docs,
     ).materialize()
     n_overflow = int(cand.to_pandas()["overflow"].sum()) if cand.count() else 0
     if n_overflow:
